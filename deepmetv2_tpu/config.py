@@ -1,0 +1,130 @@
+"""Configuration dataclasses.
+
+The reference hard-codes every hyperparameter as scattered constants
+(reference train.py:66,75-80,100; model/net.py:41-43; model/data_loader.py:98-104).
+Here they are first-class, named, and serializable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphConfig:
+    """Graph-construction settings (reference train.py:47-48)."""
+
+    delta_r: float = 0.4            # radius in (eta, phi) space
+    max_neighbors: int = 256        # reference caps at 255 (train.py:48); we round
+                                    # to a lane-friendly 256 (incl. self-loop)
+    self_loops: bool = True
+    # The reference's metric has NO phi +/- pi wraparound (train.py:47 comment,
+    # acknowledged bug). Keep it off by default for parity; flip for physics.
+    phi_wraparound: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """GraphMETNetwork hyperparameters (reference model/net.py:41-43,
+    model/graph_met_network.py:12-45)."""
+
+    continuous_dim: int = 8
+    categorical_dim: int = 3
+    hidden_dim: int = 32
+    conv_depth: int = 2
+    output_dim: int = 1
+    # |pdgId| vocabulary (reference model/graph_met_network.py:45)
+    pdgs: Tuple[int, ...] = (1, 2, 11, 13, 22, 130, 211)
+
+
+@dataclasses.dataclass(frozen=True)
+class DRNConfig:
+    """DynamicReductionNetwork hyperparameters
+    (reference model/dynamic_reduction_network.py:39-79)."""
+
+    input_dim: int = 11
+    hidden_dim: int = 64
+    output_dim: int = 2
+    k: int = 16
+    aggr: str = "max"          # commented-out Net used 'max' (model/net.py:17)
+    pool_rounds: int = 2       # two knn+coarsen stages
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer + LR schedule (reference train.py:75-76)."""
+
+    lr: float = 1e-3
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    weight_decay: float = 0.01           # torch AdamW default, confirmed in ckpt
+    plateau_factor: float = 0.5
+    plateau_patience: int = 500
+    plateau_threshold: float = 0.05      # relative, mode 'min'
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset / batching (reference train.py:66, model/data_loader.py:92-111)."""
+
+    batch_size: int = 6
+    validation_split: float = 0.2
+    seed: int = 42
+    clip_value: float = 5000.0           # model/data_loader.py:82
+    pad_fill: float = -999.0             # ETL padding sentinel
+    # Padded-node capacity buckets: each batch is padded to the smallest
+    # bucket >= its largest event, keeping the number of distinct compiled
+    # shapes tiny.
+    node_buckets: Tuple[int, ...] = (128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 100                    # reference train.py:100 (range 1..101)
+    eval_batch_size: int = 40            # reference evaluate.py:176
+    qt_max: float = 400.0                # evaluate.py:111-112
+    qt_bin_width: float = 10.0
+    qt_hist_bins: int = 40
+    dtype: str = "float32"               # parity default; 'bfloat16' for speed
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for the distribution layer."""
+
+    data_axis: str = "data"
+    node_axis: str = "node"              # graph/node partition axis
+    data_parallel: int = -1              # -1 => all devices on data axis
+    node_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    graph: GraphConfig = dataclasses.field(default_factory=GraphConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    drn: DRNConfig = dataclasses.field(default_factory=DRNConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        raw = json.loads(s)
+        sub = {
+            "graph": GraphConfig, "model": ModelConfig, "drn": DRNConfig,
+            "optim": OptimConfig, "data": DataConfig, "train": TrainConfig,
+            "mesh": MeshConfig,
+        }
+        kwargs = {}
+        for key, cls in sub.items():
+            if key in raw:
+                d = {k: (tuple(v) if isinstance(v, list) else v)
+                     for k, v in raw[key].items()}
+                kwargs[key] = cls(**d)
+        return Config(**kwargs)

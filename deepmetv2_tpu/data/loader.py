@@ -1,0 +1,132 @@
+"""Dataset + loaders — equivalent of ``METDataset`` / ``fetch_dataloader``
+(reference model/data_loader.py:21-111), rebuilt for device-friendly feeding.
+
+Differences from the reference, by design:
+
+* no per-event ``.pt`` files — events are ingested once into an in-memory
+  (optionally mmap-cached) list of numpy arrays;
+* batches are padded ``EventBatch`` pytrees (see batching.py) instead of
+  concatenated ragged graphs;
+* two batching modes:
+    - ``sequential`` (default): same event order and batch composition as
+      the reference (split seed 42, shuffle=False — reference
+      model/data_loader.py:103-109), each batch padded to a capacity bucket;
+    - ``bucketed``: events grouped by size bucket for maximal padding
+      efficiency (throughput mode; changes batch composition).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from deepmetv2_tpu.data import ingest
+from deepmetv2_tpu.data.batching import EventBatch, bucket_for, collate
+
+Event = Tuple[np.ndarray, np.ndarray]
+
+
+def _torch_random_split_indices(n: int, n_val: int, seed: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Reproduce torch ``random_split`` under ``torch.manual_seed(seed)``
+    (reference model/data_loader.py:103-104) so the train/val partition is
+    bit-identical to the reference.  Falls back to numpy if torch is absent.
+    """
+    try:
+        import torch
+
+        torch.manual_seed(seed)
+        perm = torch.randperm(n).numpy()
+    except Exception:
+        perm = np.random.default_rng(seed).permutation(n)
+    return perm[: n - n_val], perm[n - n_val:]
+
+
+class METDataset:
+    """In-memory event store (equivalent of reference METDataset,
+    model/data_loader.py:21-90)."""
+
+    def __init__(self, data_dir: Optional[str] = None,
+                 events: Optional[Sequence[Event]] = None):
+        if events is not None:
+            self._events: List[Event] = list(events)
+        else:
+            assert data_dir is not None
+            files = ingest.discover_npz(data_dir)
+            if not files:
+                raise FileNotFoundError(f"no npz slices under {data_dir}")
+            self._events = []
+            for f in files:
+                self._events.extend(ingest.load_npz_events(f))
+
+    def __len__(self) -> int:
+        return len(self._events)
+
+    def __getitem__(self, i: int) -> Event:
+        return self._events[i]
+
+
+class PaddedLoader:
+    """Iterates EventBatch pytrees over a subset of a dataset."""
+
+    def __init__(
+        self,
+        dataset: METDataset,
+        indices: Sequence[int],
+        batch_size: int,
+        buckets: Sequence[int],
+        mode: str = "sequential",
+    ):
+        self.dataset = dataset
+        self.indices = np.asarray(indices, dtype=np.int64)
+        self.batch_size = batch_size
+        self.buckets = tuple(buckets)
+        assert mode in ("sequential", "bucketed")
+        self.mode = mode
+        self._batches = self._plan()
+
+    def _plan(self) -> List[np.ndarray]:
+        bs = self.batch_size
+        if self.mode == "sequential":
+            return [self.indices[i:i + bs] for i in range(0, len(self.indices), bs)]
+        # Bucketed: group indices by event-size bucket, then chunk.
+        by_bucket: Dict[int, List[int]] = {}
+        for idx in self.indices:
+            n = self.dataset[int(idx)][0].shape[0]
+            by_bucket.setdefault(bucket_for(n, self.buckets), []).append(int(idx))
+        plans = []
+        for _, idxs in sorted(by_bucket.items()):
+            for i in range(0, len(idxs), bs):
+                plans.append(np.asarray(idxs[i:i + bs], dtype=np.int64))
+        return plans
+
+    def __len__(self) -> int:
+        return len(self._batches)
+
+    def __iter__(self) -> Iterator[EventBatch]:
+        for batch_idx in self._batches:
+            events = [self.dataset[int(i)] for i in batch_idx]
+            yield collate(events, buckets=self.buckets)
+
+
+def fetch_dataloader(
+    data_dir: Optional[str] = None,
+    batch_size: int = 6,
+    validation_split: float = 0.2,
+    events: Optional[Sequence[Event]] = None,
+    seed: int = 42,
+    buckets: Sequence[int] = (128, 256, 512, 1024, 2048, 4096, 8192),
+    mode: str = "sequential",
+) -> Dict[str, PaddedLoader]:
+    """Equivalent of reference ``fetch_dataloader``
+    (model/data_loader.py:92-111): seeded 80/20 random split, sequential
+    (unshuffled) batches."""
+    dataset = METDataset(data_dir=data_dir, events=events)
+    n = len(dataset)
+    n_val = int(np.floor(validation_split * n))
+    train_idx, val_idx = _torch_random_split_indices(n, n_val, seed)
+    return {
+        "train": PaddedLoader(dataset, train_idx, batch_size, buckets, mode),
+        "test": PaddedLoader(dataset, val_idx, batch_size, buckets, mode),
+    }

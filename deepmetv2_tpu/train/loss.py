@@ -1,0 +1,55 @@
+"""Loss functions — reference model/net.py:49-90, padded-batch form.
+
+The reference's ``scatter_add(weights*px, batch)`` segment reduction
+becomes a masked sum over the node axis: dense, fused by XLA into the
+surrounding arithmetic (no scatter kernel at all).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from deepmetv2_tpu.data.batching import EventBatch
+from deepmetv2_tpu.ops.segment import masked_sum
+
+
+def weighted_met(weights: jnp.ndarray, batch: EventBatch) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-event weighted momentum sums  METx = Σ_i w_i·px_i,  METy = Σ_i w_i·py_i
+    (reference model/net.py:55-56; note the sign convention — the *negative*
+    of this sum is the MET estimate, applied downstream)."""
+    px = batch.x_cont[..., 0]
+    py = batch.x_cont[..., 1]
+    metx = masked_sum(weights * px, batch.mask, axis=1)
+    mety = masked_sum(weights * py, batch.mask, axis=1)
+    return metx, mety
+
+
+def loss_fn(weights: jnp.ndarray, batch: EventBatch) -> jnp.ndarray:
+    """0.5 · mean_B[ (METx + genMETx)² + (METy + genMETy)² ]
+    (reference model/net.py:49-62; truth[:,0:2] holds genMET px/py)."""
+    metx, mety = weighted_met(weights, batch)
+    true_px = batch.y[:, 0]
+    true_py = batch.y[:, 1]
+    return 0.5 * jnp.mean((metx + true_px) ** 2 + (mety + true_py) ** 2)
+
+
+def u_perp_par_loss(weights: jnp.ndarray, batch: EventBatch) -> jnp.ndarray:
+    """Alternative recoil-decomposition loss (reference model/net.py:71-90;
+    present but unused by the reference training loop — kept for parity)."""
+    qtx = batch.y[:, 0]
+    qty = batch.y[:, 0]  # sic — the reference uses truth[:,0] for BOTH
+    v_qt = jnp.stack([qtx, qty], axis=1)
+
+    metx, mety = weighted_met(weights, batch)
+    vec = jnp.stack([-metx, -mety], axis=1)
+
+    dot = jnp.einsum("bi,bi->b", vec, v_qt)
+    qt2 = jnp.einsum("bi,bi->b", v_qt, v_qt)
+    response = dot / qt2
+    v_par = response[:, None] * v_qt
+    u_par = jnp.sqrt(jnp.einsum("bi,bi->b", v_par, v_par)) - jnp.sqrt(qt2)
+    v_perp = vec - v_par
+    u_perp = jnp.sqrt(jnp.einsum("bi,bi->b", v_perp, v_perp))
+    return 0.5 * jnp.mean(u_par**2 + u_perp**2)
