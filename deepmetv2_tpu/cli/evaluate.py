@@ -1,0 +1,76 @@
+"""Standalone evaluation CLI — equivalent of reference evaluate.py:167-219.
+
+    python -m deepmetv2_tpu.cli.evaluate --data data_dytt --ckpts ckpts_dytt \
+        --restore_file best
+
+Loads a checkpoint (native .ckpt, or a reference .pth.tar via --from_torch),
+runs the validation split, writes ``<restore_file>.resolutions``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+
+from deepmetv2_tpu.config import Config
+from deepmetv2_tpu.data import fetch_dataloader, synthetic_events
+from deepmetv2_tpu.models import graph_met_init
+from deepmetv2_tpu.train.loop import evaluate
+from deepmetv2_tpu.train.step import init_train_state, make_eval_step
+from deepmetv2_tpu.train.checkpoint import load_checkpoint
+from deepmetv2_tpu.utils import artifacts
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--restore_file", default="best")
+    p.add_argument("--data", default="data")
+    p.add_argument("--ckpts", default="ckpts")
+    p.add_argument("--synthetic", type=int, default=0, metavar="N")
+    p.add_argument("--batch_size", type=int, default=40)  # evaluate.py:176
+    p.add_argument("--from_torch", default=None,
+                   help="evaluate a reference .pth.tar instead of a .ckpt")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = Config()
+
+    if args.synthetic:
+        events = synthetic_events(args.synthetic, seed=42)
+        loaders = fetch_dataloader(events=events, batch_size=args.batch_size,
+                                   validation_split=0.2,
+                                   buckets=cfg.data.node_buckets)
+    else:
+        data_dir = osp.join(os.environ.get("PWD", "."), args.data)
+        loaders = fetch_dataloader(data_dir=data_dir,
+                                   batch_size=args.batch_size,
+                                   validation_split=0.2,
+                                   buckets=cfg.data.node_buckets)
+
+    ckpt_dir = osp.join(os.environ.get("PWD", "."), args.ckpts)
+    if args.from_torch:
+        from deepmetv2_tpu.compat import import_torch_checkpoint
+        import jax
+        params, bn_state, _ = import_torch_checkpoint(args.from_torch)
+    else:
+        import jax
+        template = init_train_state(
+            *graph_met_init(jax.random.PRNGKey(0), cfg.model), cfg)
+        state, _ = load_checkpoint(
+            osp.join(ckpt_dir, args.restore_file + ".ckpt"), template=template)
+        params, bn_state = state.params, state.bn_state
+
+    eval_step = make_eval_step(cfg)
+    test_metrics, resolutions = evaluate(params, bn_state, eval_step,
+                                         loaders["test"], cfg)
+    artifacts.save(resolutions,
+                   osp.join(ckpt_dir, f"{args.restore_file}.resolutions"))
+    print("validation loss:", test_metrics["loss"])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

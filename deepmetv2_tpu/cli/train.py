@@ -1,0 +1,88 @@
+"""Training CLI — equivalent of reference train.py:62-145.
+
+    python -m deepmetv2_tpu.cli.train --data data_dytt --ckpts ckpts_dytt
+    python -m deepmetv2_tpu.cli.train --synthetic 200 --epochs 5  # hermetic
+
+Flags mirror the reference (--data, --ckpts, --restore_file) plus named
+overrides for the previously hard-coded hyperparameters.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import os.path as osp
+
+import jax
+
+from deepmetv2_tpu.config import Config, DataConfig, TrainConfig
+from deepmetv2_tpu.data import fetch_dataloader, synthetic_events
+from deepmetv2_tpu.models import graph_met_init
+from deepmetv2_tpu.train.loop import fit
+from deepmetv2_tpu.train.step import init_train_state
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--restore_file", default=None,
+                   help="checkpoint stem in --ckpts to resume from "
+                        "('best' or 'last')")
+    p.add_argument("--data", default="data", help="data folder (npz slices)")
+    p.add_argument("--ckpts", default="ckpts", help="checkpoint folder")
+    p.add_argument("--synthetic", type=int, default=0, metavar="N",
+                   help="train on N generated events instead of --data")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=6)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0, help="model init seed")
+    p.add_argument("--mode", choices=["sequential", "bucketed"],
+                   default="sequential", help="batching mode")
+    p.add_argument("--from_torch", default=None,
+                   help="warm-start from a reference .pth.tar checkpoint")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    cfg = Config(data=DataConfig(batch_size=args.batch_size))
+    if args.lr is not None:
+        cfg = dataclasses.replace(
+            cfg, optim=dataclasses.replace(cfg.optim, lr=args.lr))
+    if args.epochs is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, epochs=args.epochs))
+
+    if args.synthetic:
+        events = synthetic_events(args.synthetic, seed=42)
+        loaders = fetch_dataloader(
+            events=events, batch_size=cfg.data.batch_size,
+            validation_split=cfg.data.validation_split,
+            buckets=cfg.data.node_buckets, mode=args.mode)
+    else:
+        data_dir = osp.join(os.environ.get("PWD", "."), args.data)
+        loaders = fetch_dataloader(
+            data_dir=data_dir, batch_size=cfg.data.batch_size,
+            validation_split=cfg.data.validation_split,
+            buckets=cfg.data.node_buckets, mode=args.mode)
+
+    print(len(loaders["train"]), len(loaders["test"]))
+    print("devices:", jax.devices())
+
+    if args.from_torch:
+        from deepmetv2_tpu.compat import import_torch_checkpoint
+        params, bn_state, _ = import_torch_checkpoint(args.from_torch)
+    else:
+        params, bn_state = graph_met_init(jax.random.PRNGKey(args.seed),
+                                          cfg.model)
+    state = init_train_state(params, bn_state, cfg)
+
+    ckpt_dir = osp.join(os.environ.get("PWD", "."), args.ckpts)
+    fit(state, cfg, loaders["train"], loaders["test"], ckpt_dir,
+        restore_file=args.restore_file)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

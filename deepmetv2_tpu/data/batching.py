@@ -97,16 +97,20 @@ def collate(
     events: Sequence[Tuple[np.ndarray, np.ndarray]],
     buckets: Sequence[int] = (128, 256, 512, 1024, 2048, 4096, 8192),
     pad_to: int | None = None,
+    pad_events_to: int | None = None,
 ) -> EventBatch:
     """Pad a list of ``(x [n_i, 11], y [T])`` events into one EventBatch.
 
     Equivalent of PyG DataLoader collation (reference
     model/data_loader.py:108-109) with padding instead of concatenation.
+    ``pad_events_to`` pads the batch axis with empty events
+    (``num_valid == 0``) so partial final batches reuse the same compiled
+    program; losses/metrics skip empty events.
     """
     assert len(events) > 0
     n_max = max(x.shape[0] for x, _ in events)
     cap = pad_to if pad_to is not None else bucket_for(n_max, buckets)
-    B = len(events)
+    B = max(len(events), pad_events_to or 0)
     t_dim = max(int(np.asarray(y).reshape(-1).shape[0]) for _, y in events)
 
     x_cont = np.zeros((B, cap, CONTINUOUS_DIM), dtype=np.float32)

@@ -77,6 +77,7 @@ class PaddedLoader:
         batch_size: int,
         buckets: Sequence[int],
         mode: str = "sequential",
+        pad_batches: bool = True,
     ):
         self.dataset = dataset
         self.indices = np.asarray(indices, dtype=np.int64)
@@ -84,6 +85,7 @@ class PaddedLoader:
         self.buckets = tuple(buckets)
         assert mode in ("sequential", "bucketed")
         self.mode = mode
+        self.pad_batches = pad_batches
         self._batches = self._plan()
 
     def _plan(self) -> List[np.ndarray]:
@@ -105,9 +107,10 @@ class PaddedLoader:
         return len(self._batches)
 
     def __iter__(self) -> Iterator[EventBatch]:
+        pad_to = self.batch_size if self.pad_batches else None
         for batch_idx in self._batches:
             events = [self.dataset[int(i)] for i in batch_idx]
-            yield collate(events, buckets=self.buckets)
+            yield collate(events, buckets=self.buckets, pad_events_to=pad_to)
 
 
 def fetch_dataloader(

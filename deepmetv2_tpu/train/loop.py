@@ -1,0 +1,168 @@
+"""Train / evaluate drivers — reference train.py:34-145, evaluate.py:31-164.
+
+Library-level loops; the CLIs in deepmetv2_tpu/cli wrap these with argparse.
+Artifact contract matches the reference exactly: ``loss.log`` CSV,
+``metrics_val_{best,last}.json``, ``{best,last}.resolutions`` (lz4+pickle),
+``{best,last}.ckpt``.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from deepmetv2_tpu.config import Config
+from deepmetv2_tpu.data.loader import PaddedLoader
+from deepmetv2_tpu.train import metrics as metrics_mod
+from deepmetv2_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from deepmetv2_tpu.train.schedule import ReduceLROnPlateau
+from deepmetv2_tpu.train.step import (
+    TrainState,
+    make_eval_step,
+    make_train_step,
+    set_learning_rate,
+)
+from deepmetv2_tpu.utils import artifacts
+from deepmetv2_tpu.utils.logging import RunningAverage, StepTimer
+
+
+def train_one_epoch(state, train_step, loader: PaddedLoader, epoch: int,
+                    log_every: int = 50, verbose: bool = True):
+    """One pass over the training set (reference train.py:34-60)."""
+    losses = []
+    avg = RunningAverage()
+    timer = StepTimer()
+    timer.start()
+    for i, batch in enumerate(loader):
+        state, loss = train_step(state, batch)
+        loss = float(loss)
+        losses.append(loss)
+        avg.update(loss)
+        timer.update(num_edges=0, num_nodes=int(np.sum(np.asarray(batch.num_valid))))
+        if verbose and (i + 1) % log_every == 0:
+            r = timer.rates()
+            print(f"  epoch {epoch} step {i+1}/{len(loader)} "
+                  f"loss {avg():.3f} ({r['steps_per_s']:.2f} it/s)")
+    mean_loss = float(np.mean(losses)) if losses else float("inf")
+    if verbose:
+        print(f"Training epoch: {epoch:02d}, MSE: {mean_loss:.4f}")
+    return state, mean_loss
+
+
+def evaluate(params, bn_state, eval_step, loader: PaddedLoader,
+             cfg: Config, verbose: bool = True
+             ) -> Tuple[Dict[str, float], Dict]:
+    """Full validation pass + qT-binned resolution summary
+    (reference evaluate.py:31-164)."""
+    losses = []
+    qt_arr = np.zeros((0,))
+    resolutions_arr: Dict[str, list] = {}
+    for batch in loader:
+        w, loss, _ = eval_step(params, bn_state, batch)
+        losses.append(float(loss))
+        res, qt = metrics_mod.resolution(w, batch)
+        for key, arrs in res.items():
+            if key not in resolutions_arr:
+                resolutions_arr[key] = [np.zeros((0,)) for _ in range(3)]
+            for i in range(3):
+                resolutions_arr[key][i] = np.concatenate(
+                    [resolutions_arr[key][i], arrs[i]])
+        qt_arr = np.concatenate([qt_arr, qt])
+
+    hists = metrics_mod.resolution_histograms(
+        resolutions_arr, qt_arr,
+        max_qt=cfg.train.qt_max,
+        bin_width=cfg.train.qt_bin_width,
+        hist_bins=cfg.train.qt_hist_bins,
+    )
+    metrics_mean = {"loss": float(np.mean(losses)) if losses else float("inf")}
+    if verbose:
+        print("- Eval metrics : " +
+              " ; ".join(f"{k}: {v:05.3f}" for k, v in metrics_mean.items()))
+    return metrics_mean, hists
+
+
+def fit(
+    state: TrainState,
+    cfg: Config,
+    train_loader: PaddedLoader,
+    val_loader: PaddedLoader,
+    ckpt_dir: str,
+    restore_file: Optional[str] = None,
+    epochs: Optional[int] = None,
+    verbose: bool = True,
+) -> TrainState:
+    """Full training driver (reference train.py:62-145)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    train_step = make_train_step(cfg)
+    eval_step = make_eval_step(cfg)
+    scheduler = ReduceLROnPlateau(
+        lr=cfg.optim.lr,
+        factor=cfg.optim.plateau_factor,
+        patience=cfg.optim.plateau_patience,
+        threshold=cfg.optim.plateau_threshold,
+    )
+
+    first_epoch = 0
+    best_validation_loss = 1e8  # reference train.py:78
+    if restore_file is not None:
+        path = osp.join(ckpt_dir, restore_file + ".ckpt")
+        state, payload = load_checkpoint(path, template=state, scheduler=scheduler)
+        first_epoch = payload["epoch"]
+        if verbose:
+            print(f"Restarting training from epoch {first_epoch}")
+        best_json = osp.join(ckpt_dir, "metrics_val_best.json")
+        if osp.exists(best_json):
+            import json
+            with open(best_json) as f:
+                best_validation_loss = json.load(f)["loss"]
+
+    loss_log = open(osp.join(ckpt_dir, "loss.log"),
+                    "a" if restore_file else "w")
+    if not restore_file:
+        loss_log.write("# loss log for training starting at "
+                       + time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()) + "\n")
+        loss_log.write("epoch, loss, val_loss\n")
+        loss_log.flush()
+
+    n_epochs = epochs if epochs is not None else cfg.train.epochs
+    for epoch in range(first_epoch + 1, n_epochs + 1):
+        if verbose:
+            print(f"Current best loss: {best_validation_loss}")
+            print(f"Learning rate: {scheduler.lr}")
+
+        state, train_loss = train_one_epoch(state, train_step, train_loader,
+                                            epoch, verbose=verbose)
+        new_lr = scheduler.step(train_loss)        # reference train.py:58
+        state = set_learning_rate(state, new_lr)
+
+        save_checkpoint(state, scheduler, epoch, is_best=False,
+                        checkpoint_dir=ckpt_dir)
+
+        test_metrics, resolutions = evaluate(
+            state.params, state.bn_state, eval_step, val_loader, cfg,
+            verbose=verbose)
+        validation_loss = test_metrics["loss"]
+        loss_log.write(f"{epoch},{train_loss:.2f},{validation_loss:.2f}\n")
+        loss_log.flush()
+
+        if validation_loss <= best_validation_loss:
+            if verbose:
+                print("Found new best loss!")
+            best_validation_loss = validation_loss
+            save_checkpoint(state, scheduler, epoch, is_best=True,
+                            checkpoint_dir=ckpt_dir)
+            artifacts.save_dict_to_json(
+                test_metrics, osp.join(ckpt_dir, "metrics_val_best.json"))
+            artifacts.save(resolutions, osp.join(ckpt_dir, "best.resolutions"))
+
+        artifacts.save_dict_to_json(
+            test_metrics, osp.join(ckpt_dir, "metrics_val_last.json"))
+        artifacts.save(resolutions, osp.join(ckpt_dir, "last.resolutions"))
+
+    loss_log.close()
+    return state

@@ -28,11 +28,19 @@ def weighted_met(weights: jnp.ndarray, batch: EventBatch) -> Tuple[jnp.ndarray, 
 
 def loss_fn(weights: jnp.ndarray, batch: EventBatch) -> jnp.ndarray:
     """0.5 · mean_B[ (METx + genMETx)² + (METy + genMETy)² ]
-    (reference model/net.py:49-62; truth[:,0:2] holds genMET px/py)."""
+    (reference model/net.py:49-62; truth[:,0:2] holds genMET px/py).
+
+    The mean runs over *real* events only (events padded into a batch to
+    keep shapes static have num_valid == 0 and are excluded), so a padded
+    final batch produces the same value the reference gets on its ragged
+    final batch."""
     metx, mety = weighted_met(weights, batch)
     true_px = batch.y[:, 0]
     true_py = batch.y[:, 1]
-    return 0.5 * jnp.mean((metx + true_px) ** 2 + (mety + true_py) ** 2)
+    per_event = (metx + true_px) ** 2 + (mety + true_py) ** 2
+    ev = batch.num_valid > 0
+    total = jnp.sum(jnp.where(ev, per_event, 0.0))
+    return 0.5 * total / jnp.maximum(jnp.sum(ev), 1)
 
 
 def u_perp_par_loss(weights: jnp.ndarray, batch: EventBatch) -> jnp.ndarray:

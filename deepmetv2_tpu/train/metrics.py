@@ -51,9 +51,12 @@ def resolution(
     metx, mety = weighted_met(weights, batch)
     v_met = jnp.stack([metx, mety], axis=1)
 
+    ev = np.asarray(batch.num_valid) > 0  # skip batch-padding empty events
+
     out: Dict[str, List[np.ndarray]] = {}
     u_perp, u_par, resp = _decompose(-v_met, v_qt)
-    out["MET"] = [np.asarray(u_perp), np.asarray(u_par), np.asarray(resp)]
+    out["MET"] = [np.asarray(u_perp)[ev], np.asarray(u_par)[ev],
+                  np.asarray(resp)[ev]]
 
     has_deepmet = y.shape[1] > 6
     for name, (cx, cy) in _BASELINES.items():
@@ -61,9 +64,10 @@ def resolution(
             continue
         vb = jnp.stack([y[:, cx], y[:, cy]], axis=1)
         u_perp, u_par, resp = _decompose(vb, v_qt)
-        out[name] = [np.asarray(u_perp), np.asarray(u_par), np.asarray(resp)]
+        out[name] = [np.asarray(u_perp)[ev], np.asarray(u_par)[ev],
+                     np.asarray(resp)[ev]]
 
-    qt = np.asarray(jnp.sqrt(y[:, 0] ** 2 + y[:, 1] ** 2))
+    qt = np.asarray(jnp.sqrt(y[:, 0] ** 2 + y[:, 1] ** 2))[ev]
     return out, qt
 
 

@@ -1,0 +1,110 @@
+"""Jit-compiled train/eval steps.
+
+The reference's per-step pipeline (train.py:39-54) — slice features, build
+the radius graph, forward, loss, backward, AdamW — is compiled here into a
+single XLA program per (bucket, batch-size) shape: graph construction,
+message passing, loss, gradient, and optimizer update all fuse on device
+with zero host synchronization except the scalar loss fetch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from deepmetv2_tpu.config import Config
+from deepmetv2_tpu.data.batching import EventBatch, Neighborhood
+from deepmetv2_tpu.models.graph_met import net_apply
+from deepmetv2_tpu.ops.graph import radius_graph
+from deepmetv2_tpu.train.loss import loss_fn
+
+
+class TrainState(NamedTuple):
+    params: Any
+    bn_state: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """AdamW exactly as the reference configures it (train.py:75: lr 1e-3;
+    torch defaults betas (0.9, 0.999), eps 1e-8, weight_decay 0.01).
+    Learning rate is injected so the host-side plateau controller
+    (schedule.py) can adjust it between epochs without recompiling."""
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=cfg.optim.lr,
+        b1=cfg.optim.betas[0],
+        b2=cfg.optim.betas[1],
+        eps=cfg.optim.eps,
+        weight_decay=cfg.optim.weight_decay,
+    )
+
+
+def init_train_state(params, bn_state, cfg: Config) -> TrainState:
+    opt = make_optimizer(cfg)
+    return TrainState(
+        params=params,
+        bn_state=bn_state,
+        opt_state=opt.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Write the plateau-controlled lr into the injected hyperparams."""
+    opt_state = state.opt_state
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(
+        lr, opt_state.hyperparams["learning_rate"].dtype
+    )
+    return state._replace(opt_state=opt_state)
+
+
+def build_graph(batch: EventBatch, cfg: Config) -> Neighborhood:
+    """Per-batch radius graph in (eta, phi) — reference train.py:44-48."""
+    phi = jnp.arctan2(batch.x_cont[..., 1], batch.x_cont[..., 0])
+    etaphi = jnp.stack([batch.x_cont[..., 3], phi], axis=-1)
+    wrap = (0.0, 2 * jnp.pi) if cfg.graph.phi_wraparound else None
+    return radius_graph(
+        etaphi, batch.mask,
+        r=cfg.graph.delta_r,
+        k=cfg.graph.max_neighbors,
+        loop=cfg.graph.self_loops,
+        wrap_axes=wrap,
+    )
+
+
+def make_train_step(cfg: Config):
+    opt = make_optimizer(cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: EventBatch) -> Tuple[TrainState, jnp.ndarray]:
+        nbr = build_graph(batch, cfg)
+
+        def objective(params):
+            w, new_bn = net_apply(params, state.bn_state, batch, nbr,
+                                  train=True, cfg=cfg.model)
+            return loss_fn(w, batch), new_bn
+
+        (loss, new_bn), grads = jax.value_and_grad(objective, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_bn, new_opt, state.step + 1), loss
+
+    return train_step
+
+
+def make_eval_step(cfg: Config):
+    @jax.jit
+    def eval_step(params, bn_state, batch: EventBatch):
+        nbr = build_graph(batch, cfg)
+        w, _ = net_apply(params, bn_state, batch, nbr, train=False,
+                         cfg=cfg.model)
+        return w, loss_fn(w, batch), nbr.num_edges()
+
+    return eval_step

@@ -114,7 +114,9 @@ class TestLoader:
         batches = list(dls["train"])
         assert len(batches) == 3
         assert batches[0].batch_size == 4
-        assert batches[2].batch_size == 2
+        # final partial batch is padded to full size with empty events
+        assert batches[2].batch_size == 4
+        assert int(np.sum(np.asarray(batches[2].num_valid) > 0)) == 2
 
     def test_bucketed_mode_groups_by_size(self):
         events = synthetic_events(12, seed=3, n_min=10, n_max=500)
