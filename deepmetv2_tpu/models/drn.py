@@ -1,0 +1,167 @@
+"""DynamicReductionNetwork — the graph-coarsening model family.
+
+TPU-native rebuild of reference model/dynamic_reduction_network.py:27-103:
+iteratively contracts feature-space kNN graphs until a per-event vector
+remains.
+
+Per reduction round (×2):
+  1. kNN graph (k=16) rebuilt in *feature space*, symmetrized
+     (knn_graph + to_undirected — ops/graph.py);
+  2. EdgeConv whose edge-MLP is Linear(2H→3H/2)+ELU+Linear(3H/2→H)+ELU+
+     BatchNorm (BatchNorm runs over valid *edge messages*, matching the
+     reference's BatchNorm1d at the end of convnn), aggregation ctor-param;
+  3. normalized-cut edge weights → handshake matching (graclus
+     replacement, ops/coarsen.py) → cluster-max pooling.
+Then global max pool and the output MLP.
+
+Divergence from reference (documented): graclus's sequential greedy
+matching is replaced by deterministic parallel handshake matching — same
+objective (heavy-edge matching on normalized-cut weights), different tie
+resolution, so clusterings are equivalent in quality but not bit-identical.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deepmetv2_tpu.config import DRNConfig
+from deepmetv2_tpu.data.batching import EventBatch, Neighborhood
+from deepmetv2_tpu.nn.core import (
+    BatchNormState,
+    batchnorm_init,
+    elu,
+    linear_apply,
+    linear_init,
+    mlp_apply,
+    mlp_init,
+)
+from deepmetv2_tpu.ops.coarsen import (
+    global_max_pool,
+    handshake_matching,
+    max_pool,
+    normalized_cut_weights,
+)
+from deepmetv2_tpu.ops.graph import knn_graph, to_undirected
+from deepmetv2_tpu.ops.segment import gather_neighbors
+
+Params = Dict[str, Any]
+State = Dict[str, Any]
+
+# Default datanorm (reference model/net.py:20-31, the commented DRN Net).
+DEFAULT_NORM = (
+    1.0 / 2950.0, 1.0 / 2950.0, 1.0 / 2950.0, 1.0 / 5.265625,
+    1.0 / 143.875, 1.0 / 589.0, 1.0 / 1.2050781, 1.0 / 211.0,
+    1.0, 1.0 / 7.0, 1.0,
+)
+
+
+def drn_init(key: jax.Array, cfg: DRNConfig = DRNConfig(),
+             norm=None, dtype=jnp.float32) -> Tuple[Params, State]:
+    H = cfg.hidden_dim
+    keys = jax.random.split(key, 2 + cfg.pool_rounds)
+    if norm is None:
+        norm = DEFAULT_NORM[: cfg.input_dim]
+    params: Params = {
+        "datanorm": jnp.asarray(norm, dtype),
+        "inputnet": mlp_init(keys[0], (cfg.input_dim, H // 2, H, H), dtype),
+        "output": mlp_init(keys[1], (H, H, H // 2, cfg.output_dim), dtype),
+        "convs": [],
+    }
+    state: State = {"convs": []}
+    for r in range(cfg.pool_rounds):
+        conv = {"mlp": mlp_init(keys[2 + r], (2 * H, 3 * H // 2, H), dtype)}
+        bn_p, bn_s = batchnorm_init(H, dtype)
+        conv["bn"] = bn_p
+        params["convs"].append(conv)
+        state["convs"].append(bn_s)
+    return params, state
+
+
+def _edge_batchnorm(params, st: BatchNormState, msgs: jnp.ndarray,
+                    edge_mask: jnp.ndarray, train: bool,
+                    momentum: float = 0.1, eps: float = 1e-5):
+    """BatchNorm over valid edge messages ([B,N,K,H] + [B,N,K] mask) —
+    the reference applies BatchNorm1d to the [E,H] message matrix."""
+    if train:
+        m = edge_mask[..., None]
+        n = jnp.maximum(jnp.sum(m), 1).astype(msgs.dtype)
+        mean = jnp.sum(jnp.where(m, msgs, 0), axis=(0, 1, 2)) / n
+        diff = jnp.where(m, msgs - mean, 0)
+        var = jnp.sum(diff * diff, axis=(0, 1, 2)) / n
+        unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+        new_st = BatchNormState(
+            mean=(1 - momentum) * st.mean + momentum * mean,
+            var=(1 - momentum) * st.var + momentum * unbiased,
+            count=st.count + 1,
+        )
+    else:
+        mean, var = st.mean, st.var
+        new_st = st
+    inv = jax.lax.rsqrt(var + eps)
+    return (msgs - mean) * inv * params["gamma"] + params["beta"], new_st
+
+
+def _drn_edgeconv(conv_params, bn_state, x, nbr: Neighborhood, aggr: str,
+                  train: bool):
+    """EdgeConv with the DRN's nonlinear edge-MLP + edge BatchNorm."""
+    xi = x[:, :, None, :]
+    xj = gather_neighbors(x, nbr)
+    e = jnp.concatenate([jnp.broadcast_to(xi, xj.shape), xj - xi], axis=-1)
+    h = mlp_apply(conv_params["mlp"], e, final_act=True)   # ELU after each
+    h, new_bn = _edge_batchnorm(conv_params["bn"], bn_state, h, nbr.mask,
+                                train)
+    m = nbr.mask[..., None]
+    if aggr == "max":
+        out = jnp.max(jnp.where(m, h, -jnp.inf), axis=2)
+        out = jnp.where(jnp.any(m, axis=2), out, 0.0)
+    elif aggr == "add":
+        out = jnp.sum(jnp.where(m, h, 0.0), axis=2)
+    elif aggr == "mean":
+        s = jnp.sum(jnp.where(m, h, 0.0), axis=2)
+        out = s / jnp.maximum(jnp.sum(m, axis=2), 1)
+    else:
+        raise ValueError(f"unknown aggr {aggr!r}")
+    return out, new_bn
+
+
+def drn_apply(
+    params: Params,
+    state: State,
+    x: jnp.ndarray,        # [B, N, input_dim] all 11 features
+    mask: jnp.ndarray,     # [B, N]
+    train: bool = False,
+    cfg: DRNConfig = DRNConfig(),
+) -> Tuple[jnp.ndarray, State]:
+    """Forward → per-event outputs [B, output_dim]
+    (reference model/dynamic_reduction_network.py:82-103)."""
+    h = params["datanorm"] * x
+    h = mlp_apply(params["inputnet"], h, final_act=True)
+
+    new_states: List[BatchNormState] = []
+    for r in range(cfg.pool_rounds):
+        nbr = to_undirected(knn_graph(h, mask, k=cfg.k, loop=False))
+        h, bn_s = _drn_edgeconv(params["convs"][r], state["convs"][r], h,
+                                nbr, cfg.aggr, train)
+        new_states.append(bn_s)
+        w = normalized_cut_weights(h, nbr)
+        cluster, partner = handshake_matching(w, nbr, mask)
+        h, mask = max_pool(h, cluster, partner, mask)
+
+    pooled = global_max_pool(h, mask)
+    out = mlp_apply(params["output"], pooled)
+    return out, {"convs": new_states}
+
+
+def drn_net_apply(params, state, batch: EventBatch, train: bool = False,
+                  cfg: DRNConfig = DRNConfig()):
+    """The commented-out DRN ``Net`` head (reference model/net.py:14-37):
+    MET magnitude via softplus, phi via pi·(2·sigmoid − 1)."""
+    x = jnp.concatenate(
+        [batch.x_cont, batch.x_cat.astype(batch.x_cont.dtype)], axis=-1)
+    out, new_state = drn_apply(params, state, x, batch.mask, train, cfg)
+    met = jax.nn.softplus(out[:, 0:1])
+    metphi = jnp.pi * (2.0 * jax.nn.sigmoid(out[:, 1:2]) - 1.0)
+    return jnp.concatenate([met, metphi], axis=1), new_state

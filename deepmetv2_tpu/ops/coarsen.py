@@ -1,0 +1,115 @@
+"""Graph coarsening — TPU-native replacement for graclus + max_pool
+(reference model/dynamic_reduction_network.py:89-99).
+
+graclus is a sequential greedy heavy-edge matching (CUDA kernel in
+torch_cluster); sequential greedy is hostile to SIMD hardware.  Here it is
+replaced by deterministic *handshake matching*: a fixed number of rounds
+where every unmatched node proposes to its maximum-weight unmatched
+neighbor and mutual proposals become matches.  Each round is pure masked
+argmax + gather — fully vectorized, jit-able, identical across replicas.
+A few rounds produce a near-maximal matching (each round matches a
+constant fraction of remaining nodes in expectation); unmatched leftovers
+become singleton clusters, exactly like graclus.
+
+Pooling keeps the padded node capacity and marks cluster representatives
+in the mask (no compaction): clusters have <= 2 members, so ``max_pool``
+is a single partner-row gather + elementwise max — no scatter at all.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deepmetv2_tpu.data.batching import Neighborhood
+
+
+def normalized_cut_weights(
+    pos: jnp.ndarray,        # [B, N, F] node features/positions
+    nbr: Neighborhood,
+) -> jnp.ndarray:            # [B, N, K] edge weights
+    """w_ij = ||x_i − x_j||₂ · (1/deg_i + 1/deg_j)
+    (reference model/dynamic_reduction_network.py:27-30 + PyG
+    normalized_cut semantics)."""
+    xj = jax.vmap(lambda v, i: v[i])(pos, nbr.idx)          # [B,N,K,F]
+    d = jnp.sqrt(jnp.sum((pos[:, :, None, :] - xj) ** 2, axis=-1))
+    deg = jnp.sum(nbr.mask, axis=-1).astype(pos.dtype)      # [B,N]
+    inv_deg = 1.0 / jnp.maximum(deg, 1.0)
+    inv_deg_j = jax.vmap(lambda v, i: v[i])(inv_deg, nbr.idx)
+    w = d * (inv_deg[:, :, None] + inv_deg_j)
+    return jnp.where(nbr.mask, w, -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("rounds",))
+def handshake_matching(
+    weights: jnp.ndarray,    # [B, N, K] edge weights (-inf for invalid)
+    nbr: Neighborhood,
+    node_mask: jnp.ndarray,  # [B, N]
+    rounds: int = 4,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Deterministic parallel heavy-edge matching.
+
+    Returns ``(cluster, partner)``, both ``[B, N]`` int32: matched pairs
+    share cluster id min(i, partner); unmatched nodes (and padding) are
+    their own cluster and partner.
+    """
+    B, N, K = weights.shape
+    iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+
+    def body(_, carry):
+        matched, partner = carry
+        # candidate validity: edge exists, target unmatched, self unmatched
+        tgt_matched = jax.vmap(lambda m, i: m[i])(matched, nbr.idx)  # [B,N,K]
+        ok = nbr.mask & ~tgt_matched & ~matched[:, :, None]
+        w = jnp.where(ok, weights, -jnp.inf)
+        best_k = jnp.argmax(w, axis=-1)                               # [B,N]
+        has = jnp.take_along_axis(w, best_k[..., None], axis=-1)[..., 0] > -jnp.inf
+        prop = jnp.where(
+            has, jnp.take_along_axis(nbr.idx, best_k[..., None], axis=-1)[..., 0],
+            iota)                                                     # [B,N]
+        # mutual: prop[prop[i]] == i and i != prop[i]
+        prop_of_prop = jax.vmap(lambda p, i: p[i])(prop, prop)
+        mutual = (prop_of_prop == iota) & (prop != iota) & has & ~matched
+        partner = jnp.where(mutual, prop, partner)
+        matched = matched | mutual
+        return matched, partner
+
+    matched0 = ~node_mask  # padding never matches
+    partner0 = iota
+    matched, partner = jax.lax.fori_loop(0, rounds, body, (matched0, partner0))
+    partner = jnp.where(node_mask, partner, iota)
+    cluster = jnp.minimum(iota, partner)
+    return cluster, partner
+
+
+def max_pool(
+    x: jnp.ndarray,          # [B, N, H]
+    cluster: jnp.ndarray,    # [B, N] from handshake_matching
+    partner: jnp.ndarray,    # [B, N] from handshake_matching
+    node_mask: jnp.ndarray,  # [B, N]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cluster-max pooling (reference max_pool / max_pool_x semantics,
+    model/dynamic_reduction_network.py:92,99).
+
+    Representative slot = min member index keeps its row; the partner's
+    features fold in by elementwise max; non-representatives are masked
+    out.  Node capacity is unchanged (static shapes); downstream ops see
+    the coarsened graph through the new mask.
+    """
+    iota = jnp.arange(x.shape[1], dtype=jnp.int32)[None, :]
+    is_rep = (cluster == iota) & node_mask
+    px = jax.vmap(lambda v, i: v[i])(x, partner)      # partner row (or self)
+    pooled = jnp.maximum(x, px)
+    pooled = jnp.where(is_rep[..., None], pooled, 0.0)
+    return pooled, is_rep
+
+
+def global_max_pool(x: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-event max over valid nodes (reference
+    model/dynamic_reduction_network.py:101)."""
+    masked = jnp.where(node_mask[..., None], x, -jnp.inf)
+    out = jnp.max(masked, axis=1)
+    return jnp.where(jnp.any(node_mask, axis=1)[..., None], out, 0.0)
