@@ -4,14 +4,18 @@ Prints ONE JSON line:
   {"metric": "edgeconv_fwd_bwd_edges_per_s", "value": ..., "unit": "edges/s",
    "vs_baseline": ...}
 
-``value`` is the throughput of this framework's factorized EdgeConv
-(ops/edgeconv.py tier 1: two node GEMMs + gather-max) through forward AND
-backward.  ``vs_baseline`` is the speedup versus the reference *design* —
-an edge-materialized gather-concat-GEMM-scatter EdgeConv (what PyG/
-torch_cluster does, reference model/graph_met_network.py:38) implemented in
-XLA on the same hardware, same graph, same numerics.  The reference repo
-publishes no throughput numbers (BASELINE.md), so its own algorithmic
-structure is the baseline.
+``value``: true radius-graph edges processed per second through forward AND
+backward of this framework's flagship EdgeConv path — the implicit windowed
+Pallas kernel over eta-sorted events (ops/pallas/edgeconv_window.py), which
+evaluates every in-radius pair (the reference caps at 255 neighbors;
+we don't).
+
+``vs_baseline``: speedup versus the reference *design* — an explicit
+neighbor-list gather-concat-GEMM-scatter EdgeConv (the algorithm
+torch_cluster/PyG executes on CUDA, reference model/graph_met_network.py:38)
+implemented in XLA on the same hardware, same graph, same numerics.  The
+reference repo publishes no throughput numbers (BASELINE.md), so its own
+algorithmic structure is the baseline.
 """
 
 from __future__ import annotations
@@ -19,39 +23,26 @@ from __future__ import annotations
 import json
 import time
 
+import numpy as np
 import jax
 import jax.numpy as jnp
-import numpy as np
 
+from deepmetv2_tpu.data import collate, synthetic_events
 from deepmetv2_tpu.data.batching import Neighborhood
+from deepmetv2_tpu.data.sorting import required_halo, sort_by_eta
 from deepmetv2_tpu.ops.edgeconv import edgeconv_linear
+from deepmetv2_tpu.ops.graph import radius_graph
 from deepmetv2_tpu.ops.segment import gather_neighbors
+from deepmetv2_tpu.ops.window import WindowGraph
 
-
-# Bench configuration: a bucketed batch of large events
-# (reference-scale: events up to ~5k candidates, <=255 neighbors).
-B, N, K, H = 8, 2048, 256, 32
-WARMUP, ITERS = 3, 20
-
-
-def _make_inputs(seed: int = 0):
-    rng = np.random.default_rng(seed)
-    x = jnp.asarray(rng.normal(size=(B, N, H)).astype(np.float32))
-    mask = jnp.ones((B, N), bool)
-    # synthetic neighbor lists: ring-local neighborhoods (realistic locality)
-    base = np.arange(N)[:, None]
-    offs = np.arange(K)[None, :] - K // 2
-    idx = (base + offs) % N
-    nbr_idx = jnp.asarray(np.broadcast_to(idx, (B, N, K)).astype(np.int32))
-    nbr_mask = jnp.ones((B, N, K), bool)
-    w = jnp.asarray(rng.normal(size=(2 * H, H)).astype(np.float32) * 0.1)
-    b = jnp.zeros((H,), jnp.float32)
-    return x, Neighborhood(nbr_idx, nbr_mask), w, b
+# Reference-scale bucketed batch: events up to ~2k candidates, dR=0.4.
+B, N, H, K, R = 8, 2048, 32, 256, 0.4
+WARMUP, ITERS = 5, 30
 
 
 def _naive_edgeconv(x, nbr, w, b):
     """Reference-design EdgeConv: materialize all E edge features, per-edge
-    GEMM, segment-max — the algorithm the CUDA stack executes."""
+    GEMM, segment-max — the algorithm the CUDA extension stack executes."""
     xj = gather_neighbors(x, nbr)                                # [B,N,K,H]
     xi = jnp.broadcast_to(x[:, :, None, :], xj.shape)
     e = jnp.concatenate([xi, xj - xi], axis=-1)                  # [B,N,K,2H]
@@ -62,42 +53,70 @@ def _naive_edgeconv(x, nbr, w, b):
     return jnp.where(jnp.any(nbr.mask, axis=-1, keepdims=True), out, 0.0)
 
 
-def _time_fwd_bwd(fn, x, nbr, w, b) -> float:
-    """Seconds per iteration of value+grad (grads w.r.t. x and w)."""
-
-    def loss(x, w):
-        return jnp.sum(fn(x, nbr, w, b) ** 2)
-
-    g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
-    for _ in range(WARMUP):
-        out = g(x, w)
+def _time(fn, *args) -> float:
+    out = fn(*args)
+    jax.block_until_ready(out)
+    for _ in range(WARMUP - 1):
+        out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = g(x, w)
+        out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / ITERS
 
 
 def main() -> None:
-    x, nbr, w, b = _make_inputs()
-    edges = B * N * K
+    events = synthetic_events(B, seed=0, n_min=N - 256, n_max=N - 1)
+    batch = collate(events, buckets=(N,))
+    batch, _ = sort_by_eta(batch)
+    phi = jnp.arctan2(batch.x_cont[..., 1], batch.x_cont[..., 0])
+    etaphi = jnp.stack([batch.x_cont[..., 3], phi], axis=-1)
+    halo = required_halo(batch, R)
 
-    t_fast = _time_fwd_bwd(
-        lambda x, nbr, w, b: edgeconv_linear(x, nbr, w, b, "max"), x, nbr, w, b)
-    t_naive = _time_fwd_bwd(_naive_edgeconv, x, nbr, w, b)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, N, H)).astype(np.float32))
+    x = jnp.where(batch.mask[..., None], x, 0.0)
+    w = jnp.asarray(rng.normal(size=(2 * H, H)).astype(np.float32) * 0.1)
+    bias = jnp.zeros((H,), jnp.float32)
 
-    edges_per_s = edges / t_fast
+    nbr = radius_graph(etaphi, batch.mask, r=R, k=K)
+    edges = float(jnp.sum(nbr.mask))
+
+    def grad_of(fn):
+        return jax.jit(jax.value_and_grad(
+            lambda x, w: jnp.sum(fn(x, w) ** 2), argnums=(0, 1)))
+
+    on_tpu = jax.default_backend() != "cpu"
+    if on_tpu:
+        from deepmetv2_tpu.ops.pallas.edgeconv_window import (
+            window_edgeconv_linear_pallas,
+        )
+        g = WindowGraph(etaphi, batch.mask, r=R, halo=halo)
+        fast = grad_of(lambda x, w: window_edgeconv_linear_pallas(
+            x, g, w, bias))
+    else:
+        from deepmetv2_tpu.ops.window import window_edgeconv_linear
+        g = WindowGraph(etaphi, batch.mask, r=R, halo=halo)
+        fast = grad_of(lambda x, w: window_edgeconv_linear(x, g, w, bias))
+
+    t_fast = _time(fast, x, w)
+    naive = grad_of(lambda x, w: _naive_edgeconv(x, nbr, w, bias))
+    t_naive = _time(naive, x, w)
+    factored = grad_of(lambda x, w: edgeconv_linear(x, nbr, w, bias, "max"))
+    t_factored = _time(factored, x, w)
+
     result = {
         "metric": "edgeconv_fwd_bwd_edges_per_s",
-        "value": edges_per_s,
+        "value": edges / t_fast,
         "unit": "edges/s",
         "vs_baseline": t_naive / t_fast,
         "extras": {
-            "config": {"B": B, "N": N, "K": K, "H": H},
-            "fast_ms_per_iter": t_fast * 1e3,
-            "naive_ms_per_iter": t_naive * 1e3,
-            "naive_edges_per_s": edges / t_naive,
+            "config": {"B": B, "N": N, "H": H, "K": K, "r": R, "halo": halo,
+                       "true_edges": edges},
+            "window_pallas_ms": t_fast * 1e3,
+            "naive_refdesign_ms": t_naive * 1e3,
+            "factored_nbrlist_ms": t_factored * 1e3,
             "device": str(jax.devices()[0]),
         },
     }

@@ -23,6 +23,12 @@ class GraphConfig:
     # The reference's metric has NO phi +/- pi wraparound (train.py:47 comment,
     # acknowledged bug). Keep it off by default for parity; flip for physics.
     phi_wraparound: bool = False
+    # Graph representation: 'neighbor_list' (explicit [N,K] lists, general)
+    # or 'window' (implicit eta-sorted radius graph -> gather-free Pallas
+    # aggregation; uncapped degree, requires window_halo >= the data's
+    # sorted-order neighbor span, see data/sorting.required_halo).
+    mode: str = "neighbor_list"
+    window_halo: int = 128
 
 
 @dataclasses.dataclass(frozen=True)

@@ -36,7 +36,7 @@ from deepmetv2_tpu.nn.core import (
     mlp_apply,
     mlp_init,
 )
-from deepmetv2_tpu.ops.edgeconv import edgeconv_linear
+from deepmetv2_tpu.ops.edgeconv import Graph, edgeconv
 
 Params = Dict[str, Any]
 State = Dict[str, Any]
@@ -119,7 +119,7 @@ def graph_met_apply(
 
     conv_states: List[BatchNormState] = []
     for d, conv in enumerate(params["convs"]):
-        h = edgeconv_linear(emb, nbr, conv["edge"]["w"], conv["edge"]["b"], "max")
+        h = edgeconv(emb, nbr, conv["edge"]["w"], conv["edge"]["b"], "max")
         h, bn_s = batchnorm_apply(conv["bn"], state["convs"][d], h,
                                   batch.mask, train)
         conv_states.append(bn_s)

@@ -38,13 +38,49 @@ ops/pallas for the hot configuration).
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 
 from deepmetv2_tpu.data.batching import Neighborhood
 from deepmetv2_tpu.ops.segment import Reduction, gather_neighbors, neighbor_reduce
+from deepmetv2_tpu.ops.window import WindowGraph, window_edgeconv_linear
+
+Graph = Union[Neighborhood, WindowGraph]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def edgeconv(
+    x: jnp.ndarray,
+    graph: Graph,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    reduction: Reduction = "max",
+) -> jnp.ndarray:
+    """Linear-MLP EdgeConv over either graph representation.
+
+    * ``Neighborhood`` (explicit fixed-degree lists) → factorized
+      gather-reduce path (general, any device);
+    * ``WindowGraph`` (implicit eta-sorted radius graph) → windowed
+      aggregation: the Pallas TPU kernel for 'max' on TPU, the XLA tiled
+      formulation elsewhere (CPU tests, other reductions).
+    """
+    if isinstance(graph, WindowGraph):
+        if reduction == "max" and _on_tpu():
+            from deepmetv2_tpu.ops.pallas.edgeconv_window import (
+                window_edgeconv_linear_pallas,
+            )
+
+            return window_edgeconv_linear_pallas(x, graph, weight, bias)
+        return window_edgeconv_linear(x, graph, weight, bias, reduction)
+    return edgeconv_linear(x, graph, weight, bias, reduction)
 
 
 def edgeconv_linear(

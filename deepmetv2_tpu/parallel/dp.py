@@ -34,7 +34,7 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, shard_nodes: bool = False):
     bsh = batch_sharding(mesh, shard_nodes=shard_nodes)
 
     def step(state: TrainState, batch: EventBatch) -> Tuple[TrainState, jax.Array]:
-        nbr = build_graph(batch, cfg)
+        batch, nbr = build_graph(batch, cfg)
 
         def objective(params):
             w, new_bn = net_apply(params, state.bn_state, batch, nbr,

@@ -63,12 +63,28 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state._replace(opt_state=opt_state)
 
 
-def build_graph(batch: EventBatch, cfg: Config) -> Neighborhood:
-    """Per-batch radius graph in (eta, phi) — reference train.py:44-48."""
+def build_graph(batch: EventBatch, cfg: Config):
+    """Per-batch graph in (eta, phi) — reference train.py:44-48.
+
+    Returns ``(batch, graph)``: in 'window' mode the batch comes back
+    eta-sorted (losses/metrics are permutation-invariant per event) and the
+    graph is implicit; in 'neighbor_list' mode the batch is unchanged and
+    the graph is an explicit capped-degree Neighborhood.
+    """
+    if cfg.graph.mode == "window":
+        from deepmetv2_tpu.data.sorting import sort_by_eta
+        from deepmetv2_tpu.ops.window import WindowGraph
+
+        batch, _ = sort_by_eta(batch)
+        phi = jnp.arctan2(batch.x_cont[..., 1], batch.x_cont[..., 0])
+        etaphi = jnp.stack([batch.x_cont[..., 3], phi], axis=-1)
+        return batch, WindowGraph(etaphi, batch.mask, r=cfg.graph.delta_r,
+                                  halo=cfg.graph.window_halo)
+
     phi = jnp.arctan2(batch.x_cont[..., 1], batch.x_cont[..., 0])
     etaphi = jnp.stack([batch.x_cont[..., 3], phi], axis=-1)
     wrap = (0.0, 2 * jnp.pi) if cfg.graph.phi_wraparound else None
-    return radius_graph(
+    return batch, radius_graph(
         etaphi, batch.mask,
         r=cfg.graph.delta_r,
         k=cfg.graph.max_neighbors,
@@ -82,7 +98,7 @@ def make_train_step(cfg: Config):
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: EventBatch) -> Tuple[TrainState, jnp.ndarray]:
-        nbr = build_graph(batch, cfg)
+        batch, nbr = build_graph(batch, cfg)
 
         def objective(params):
             w, new_bn = net_apply(params, state.bn_state, batch, nbr,
@@ -102,9 +118,11 @@ def make_train_step(cfg: Config):
 def make_eval_step(cfg: Config):
     @jax.jit
     def eval_step(params, bn_state, batch: EventBatch):
-        nbr = build_graph(batch, cfg)
+        batch, nbr = build_graph(batch, cfg)
         w, _ = net_apply(params, bn_state, batch, nbr, train=False,
                          cfg=cfg.model)
-        return w, loss_fn(w, batch), nbr.num_edges()
+        edges = (nbr.num_edges() if isinstance(nbr, Neighborhood)
+                 else jnp.zeros((batch.batch_size,), jnp.int32))
+        return w, loss_fn(w, batch), edges
 
     return eval_step
