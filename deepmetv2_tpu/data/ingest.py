@@ -65,16 +65,31 @@ def load_npz_events(path: str) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Yield ``(x [n, 11], y [T])`` for each event in one npz slice file.
 
     npz layout per the ETL (reference data_znunu/generate_npz.py:131-146):
-    ``x``: [12, n_events, n_max]; ``y``: [n_events, T].
+    ``x``: [12, n_events, n_max]; ``y``: [n_events, T].  The per-event
+    transform runs in the native C++ packer when built (whole slice at
+    once), else the numpy fallback.
     """
     with np.load(path, allow_pickle=True) as f:
-        xs = f["x"]
-        ys = f["y"]
+        xs = np.asarray(f["x"], dtype=np.float32)
+        ys = np.asarray(f["y"], dtype=np.float32)
     n_events = xs.shape[1]
+
+    try:
+        from deepmetv2_tpu.utils import native
+
+        packed = native.pack_events(xs, clip=CLIP)
+    except Exception:
+        packed = None
+
+    if packed is not None:
+        out, lengths = packed
+        for ievt in range(n_events):
+            yield out[ievt, : lengths[ievt]].copy(), ys[ievt, :]
+        return
+
     for ievt in range(n_events):
-        x = event_from_raw(np.asarray(xs[:, ievt, :], dtype=np.float32))
-        y = np.asarray(ys[ievt, :], dtype=np.float32)
-        yield x, y
+        x = event_from_raw(xs[:, ievt, :])
+        yield x, ys[ievt, :]
 
 
 def discover_npz(data_dir: str) -> List[str]:

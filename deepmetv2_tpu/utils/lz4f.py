@@ -72,7 +72,28 @@ def xxh32(data: bytes, seed: int = 0) -> int:
 
 
 def decompress_block(src: bytes, max_size: int = 1 << 24) -> bytes:
-    """LZ4 block decompression (spec: token | literals | offset | match)."""
+    """LZ4 block decompression (spec: token | literals | offset | match).
+
+    Dispatches to the native C++ decoder when built (utils/native.py);
+    the pure-Python path below is the always-available fallback."""
+    try:
+        from deepmetv2_tpu.utils import native
+
+        if native.available():
+            cap = max(4 * len(src), 1 << 16)
+            while cap <= max_size * 4:
+                out = native.lz4_decompress_block(src, cap)
+                if out is not None:
+                    return out
+                cap *= 4
+            # fall through: either corrupt or larger than max_size — the
+            # python path below raises a precise error either way
+    except Exception:
+        pass
+    return _decompress_block_py(src, max_size)
+
+
+def _decompress_block_py(src: bytes, max_size: int = 1 << 24) -> bytes:
     dst = bytearray()
     i = 0
     n = len(src)
