@@ -73,6 +73,18 @@ def edgeconv(
       formulation elsewhere (CPU tests, other reductions).
     """
     if isinstance(graph, WindowGraph):
+        from deepmetv2_tpu.parallel import context as pctx
+
+        ctx = pctx.current()
+        if ctx is not None and reduction == "max":
+            from deepmetv2_tpu.parallel.halo import (
+                window_edgeconv_linear_sharded,
+            )
+
+            return window_edgeconv_linear_sharded(
+                x, graph, weight, bias, mesh=ctx.mesh,
+                node_axis=ctx.node_axis, data_axis=ctx.data_axis,
+                interpret=ctx.interpret)
         if reduction == "max" and _on_tpu():
             from deepmetv2_tpu.ops.pallas.edgeconv_window import (
                 window_edgeconv_linear_pallas,

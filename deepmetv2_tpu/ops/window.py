@@ -71,7 +71,7 @@ def _window_reduce_single(
     cp = jnp.pad(c, ((halo, src_pad), (0, 0)))
     pp = jnp.pad(etaphi, ((halo, src_pad), (0, 0)))
     mp = jnp.pad(mask, (halo, src_pad))
-    ap = jnp.pad(a, ((0, Np - N), (0, 0)))
+    ap = None if a is None else jnp.pad(a, ((0, Np - N), (0, 0)))
     qp = jnp.pad(etaphi, ((0, Np - N), (0, 0)))
     qm = jnp.pad(mask, (0, Np - N))
 
@@ -81,7 +81,8 @@ def _window_reduce_single(
     def one_tile(i):
         q = jax.lax.dynamic_slice_in_dim(qp, i * tile, tile)        # [T,2]
         qmask = jax.lax.dynamic_slice_in_dim(qm, i * tile, tile)    # [T]
-        at = jax.lax.dynamic_slice_in_dim(ap, i * tile, tile)       # [T,H]
+        at = (None if ap is None
+              else jax.lax.dynamic_slice_in_dim(ap, i * tile, tile))  # [T,H]
 
         def chunk(k, carry):
             acc, deg = carry
@@ -111,6 +112,9 @@ def _window_reduce_single(
                 jnp.zeros((tile,), jnp.int32))
         acc, deg = jax.lax.fori_loop(0, n_chunks, chunk, init)
 
+        if a is None:  # raw mode: (acc with -inf empties, degree)
+            return acc, deg
+
         has = (deg > 0)[:, None]
         if reduction == "max":
             out = jnp.where(has, at + acc, 0.0)
@@ -123,9 +127,15 @@ def _window_reduce_single(
         return out
 
     if n_tiles == 1:
-        return one_tile(0)[:N]
-    out = jax.lax.map(one_tile, jnp.arange(n_tiles))
-    return out.reshape(Np, H)[:N]
+        res = one_tile(0)
+        if a is None:
+            return res[0][:N], res[1][:N]
+        return res[:N]
+    res = jax.lax.map(one_tile, jnp.arange(n_tiles))
+    if a is None:
+        acc, deg = res
+        return acc.reshape(Np, H)[:N], deg.reshape(Np)[:N]
+    return res.reshape(Np, H)[:N]
 
 
 @functools.partial(jax.jit, static_argnames=("reduction", "tile"))
@@ -154,3 +164,21 @@ def window_edgeconv_linear(
         _window_reduce_single, r2=float(g.r) ** 2, halo=g.halo, tile=tile,
         reduction=reduction)
     return jax.vmap(fn)(a, c, g.etaphi, g.mask)
+
+
+@functools.partial(jax.jit, static_argnames=("r2", "halo", "tile"))
+def window_max_xla(
+    c: jnp.ndarray,        # [B, N, H]
+    pos: jnp.ndarray,      # [B, N, 2]
+    mask: jnp.ndarray,     # [B, N]
+    r2: float,
+    halo: int,
+    tile: int = 256,
+) -> jnp.ndarray:
+    """XLA counterpart of the Pallas ``window_max`` kernel: masked window
+    max of ``c`` with -inf where a node has no in-radius neighbor.  Used as
+    the CPU/test implementation inside the halo-exchange sharded path."""
+    fn = functools.partial(_window_reduce_single, r2=r2, halo=halo,
+                           tile=tile, reduction="max")
+    acc, _ = jax.vmap(lambda cc, pp, mm: fn(None, cc, pp, mm))(c, pos, mask)
+    return acc

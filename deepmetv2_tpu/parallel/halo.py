@@ -1,0 +1,127 @@
+"""Edge-partitioned EdgeConv with halo exchange — the long-event scaling
+path (SURVEY.md §5 "long-context" analog; BASELINE.json north star).
+
+The reference caps per-node work at 255 neighbors on one GPU
+(reference train.py:48); here an event's (eta-sorted, padded) node axis is
+sharded across chips.  Because the implicit window formulation
+(ops/window.py) makes every node's neighborhood a ±halo slice of the
+sorted order, distribution is exact and cheap:
+
+  * each chip owns a contiguous node shard plus its incident "edges"
+    (implicitly, via the window predicate);
+  * before aggregating, chips exchange ``halo`` boundary rows of the
+    per-source term c and positions with their two ring neighbors — one
+    ``ppermute`` each way over ICI (the GNN analog of ring attention's
+    block exchange);
+  * aggregation then runs fully locally (Pallas kernel on TPU, XLA window
+    elsewhere) on the halo-extended shard.
+
+Communication volume per layer is O(B · halo · H) per chip — independent
+of shard size — so scaling efficiency approaches 1 as events grow.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from deepmetv2_tpu.ops.window import WindowGraph, window_max_xla
+
+PAD_POS = 1e9
+
+
+def _halo_exchange(arr: jnp.ndarray, halo: int, axis_name: str,
+                   n_shards: int, boundary_value: float) -> jnp.ndarray:
+    """[B, n_loc, F] → [B, halo + n_loc + halo, F]: receive the right edge
+    of the left neighbor and the left edge of the right neighbor.  Ring
+    ends are filled with ``boundary_value`` (ppermute leaves missing
+    sources as zeros, which would alias real data)."""
+    B, n_loc, F = arr.shape
+    send_right = arr[:, -halo:]       # becomes right neighbor's left halo
+    send_left = arr[:, :halo]         # becomes left neighbor's right halo
+    from_left = jax.lax.ppermute(
+        send_right, axis_name, [(i, i + 1) for i in range(n_shards - 1)])
+    from_right = jax.lax.ppermute(
+        send_left, axis_name, [(i + 1, i) for i in range(n_shards - 1)])
+    idx = jax.lax.axis_index(axis_name)
+    from_left = jnp.where(idx == 0, boundary_value, from_left)
+    from_right = jnp.where(idx == n_shards - 1, boundary_value, from_right)
+    return jnp.concatenate([from_left, arr, from_right], axis=1)
+
+
+def window_max_sharded(
+    c: jnp.ndarray,        # [B, N, H] (node axis shardable)
+    pos: jnp.ndarray,      # [B, N, 2] (+1e9 rows for padded nodes)
+    r2: float,
+    halo: int,
+    mesh: Mesh,
+    node_axis: str = "node",
+    data_axis: Optional[str] = "data",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Node-sharded masked window max: numerically identical to the
+    single-device ``window_max`` but with the node axis partitioned over
+    ``mesh[node_axis]`` and halos exchanged via ppermute."""
+    n_shards = mesh.shape[node_axis]
+    # align the exchanged halo so the local kernel's tiling stays aligned
+    halo_pad = -(-halo // 64) * 64
+    n_loc = c.shape[1] // n_shards
+    if halo_pad > n_loc:
+        raise ValueError(
+            f"halo {halo_pad} exceeds node-shard size {n_loc} "
+            f"({c.shape[1]} nodes / {n_shards} shards): single-hop halo "
+            f"exchange needs shard >= halo; use fewer node shards or a "
+            f"larger node bucket")
+
+    def local(c_loc, pos_loc):
+        c_ext = _halo_exchange(c_loc, halo_pad, node_axis, n_shards, 0.0)
+        pos_ext = _halo_exchange(pos_loc, halo_pad, node_axis, n_shards,
+                                 PAD_POS)
+        # mask: PAD_POS rows are never adjacent -> derive from positions
+        mask_ext = pos_ext[..., 0] < PAD_POS / 2
+        if interpret or jax.default_backend() == "cpu":
+            m_ext = window_max_xla(c_ext, pos_ext, mask_ext, r2, halo_pad)
+        else:
+            from deepmetv2_tpu.ops.pallas.edgeconv_window import window_max
+
+            m_ext = window_max(c_ext, pos_ext, r2, halo_pad)
+        return m_ext[:, halo_pad:-halo_pad]
+
+    bspec = P(data_axis, node_axis, None) if data_axis else P(None, node_axis, None)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(bspec, bspec),
+        out_specs=bspec,
+        check_vma=False,
+    )(c, pos)
+
+
+def window_edgeconv_linear_sharded(
+    x: jnp.ndarray,            # [B, N, H]
+    g: WindowGraph,
+    weight: jnp.ndarray,       # [2H, Hout]
+    bias: Optional[jnp.ndarray],
+    mesh: Mesh,
+    node_axis: str = "node",
+    data_axis: Optional[str] = "data",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Edge-partitioned EdgeConv(linear, max): GEMMs shard trivially along
+    nodes; the aggregation runs via the halo-exchange window max."""
+    H = x.shape[-1]
+    w_self, w_diff = weight[:H], weight[H:]
+    c = jnp.einsum("bnh,hf->bnf", x, w_diff, preferred_element_type=jnp.float32)
+    a = jnp.einsum("bnh,hf->bnf", x, w_self - w_diff,
+                   preferred_element_type=jnp.float32)
+    if bias is not None:
+        a = a + bias
+    pos = jnp.where(g.mask[..., None], g.etaphi, PAD_POS)
+    m = window_max_sharded(c, pos, float(g.r) ** 2, g.halo, mesh,
+                           node_axis, data_axis, interpret)
+    has = jnp.isfinite(m[..., :1])
+    return jnp.where(has, a + jnp.where(has, m, 0.0), 0.0)
