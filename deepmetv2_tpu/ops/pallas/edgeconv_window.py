@@ -5,26 +5,28 @@ The hot op of the flagship model (SURVEY.md §3.3): for eta-sorted events,
 — the gather-free form of radius-graph EdgeConv-max (see ops/window.py for
 the XLA formulation and the math).
 
-Kernel structure (forward), grid = (B, N/T):
-  * the per-source array ``c`` and positions stay in HBM; each program DMAs
-    its tile's window ``[W, F]`` into VMEM scratch (W = T + 2·halo);
-  * adjacency is computed inline from positions on the VPU — the graph is
-    never materialized — and applied as an arithmetic -inf bias (Mosaic
-    cannot reshape bool vectors to 3D);
-  * the window is swept in 8-row (sublane) chunks; each chunk does aligned
-    [T, 8, F] elementwise work, accumulating a running max into [T, F].
+Layout: **lane-packed events.**  With hidden size H dividing the 128-lane
+vector width, ``pack = 128 // H`` events ride side-by-side in the lane
+axis: ``c_packed[b', n, e*H + h] = c[b'*pack + e, n, h]``, and the (eta,
+phi) coordinates are *broadcast per lane* (each event's scalar repeated
+across its H lanes).  Consequences:
 
-TPU layout constraints honored here (Mosaic requires the minor dim of 3D
-vectors and all lane-dim slices to be 128-aligned):
-  * features ride the lane axis at F = round_up(H, 128) (wrapper pads);
-  * positions are carried in a 128-lane array (eta in lane 0, phi lane 1)
-    and reduced with an in-kernel lane mask — no 2-wide slices anywhere;
-  * window chunks advance along sublanes (multiples of 8).
+  * the adjacency predicate is a fully elementwise 3D compare — no
+    lane-masked position reductions, no degenerate [.., 2] arrays;
+  * every lane carries real data (the unpacked variant wastes (128−H)/128
+    of the VPU);
+  * events stay independent automatically: a lane only ever combines
+    values in its own lane group.
 
-Padding contract (arranged by the wrapper): position rows outside the real
-event carry +1e9, so padded nodes are never adjacent to anything and the
-kernel needs no mask input.  Empty rows yield -inf, turned into the PyG
-empty-neighborhood convention (0) by the wrapper.
+Kernel structure (forward), grid = (B/pack, N/T): DMA the tile's halo
+window of c and both coordinate planes ([W, 128] each) into VMEM, then
+sweep the window in 8-row sublane chunks of aligned [T, 8, 128]
+elementwise work, accumulating a running max into the [T, 128] output.
+
+Padding contract (arranged by the wrapper): coordinates of padded nodes /
+padded batch lanes carry +1e9, so they are never adjacent to anything and
+the kernel needs no mask input.  Empty rows yield -inf, turned into the
+PyG empty-neighborhood convention (0) by the wrapper.
 
 Backward is the mirrored kernel: grad routes to every argmax tie
 (c[s,h] == m[q,h] under adjacency), recomputing adjacency from positions —
@@ -34,7 +36,7 @@ no residual graph storage at all.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,92 +48,117 @@ from deepmetv2_tpu.ops.window import WindowGraph
 NEG_INF = float("-inf")  # python float: jnp consts can't be captured by kernels
 PAD_POS = 1e9
 LANE = 128
-WCHUNK = 8  # window sublane chunk
+WCHUNK = 32  # window sublane chunk (VMEM per chunk: T*WCHUNK*128*4 = 2 MB)
 
 
-def _lane_mask_f32(shape3):
-    """[1, 1, 128] mask selecting lanes 0 (eta) and 1 (phi)."""
-    lanes = jax.lax.broadcasted_iota(jnp.int32, shape3, 2)
-    return jnp.where(lanes < 2, 1.0, 0.0)
-
-
-def _fwd_kernel(c_hbm, pos_hbm, q_ref, out_ref, cwin, pwin, sems,
-                *, tile, w_win, r2):
+def _fwd_kernel(c_hbm, eta_hbm, phi_hbm, qe_ref, qp_ref, out_ref,
+                cwin, ewin, pwin, sems, *, tile, w_win, r2):
     b = pl.program_id(0)
     i = pl.program_id(1)
     s = i * tile  # window start in the halo-padded source arrays
 
-    cp = pltpu.make_async_copy(c_hbm.at[b, pl.ds(s, w_win), :], cwin,
-                               sems.at[0])
-    pp = pltpu.make_async_copy(pos_hbm.at[b, pl.ds(s, w_win), :], pwin,
-                               sems.at[1])
-    cp.start()
-    pp.start()
-    q = q_ref[0]                      # [T, 128] query positions (lanes 0,1)
-    cp.wait()
-    pp.wait()
+    copies = [
+        pltpu.make_async_copy(src.at[b, pl.ds(s, w_win), :], dst, sems.at[j])
+        for j, (src, dst) in enumerate(
+            [(c_hbm, cwin), (eta_hbm, ewin), (phi_hbm, pwin)])
+    ]
+    for cp in copies:
+        cp.start()
+    qe = qe_ref[0]                    # [T, 128] per-lane query eta
+    qp = qp_ref[0]
+    for cp in copies:
+        cp.wait()
 
-    T = q.shape[0]
-    F = cwin.shape[1]
-    lmask = _lane_mask_f32((1, 1, LANE))
+    T, F = qe.shape
     n_chunks = w_win // WCHUNK
 
     def chunk(k, acc):
-        pw = pwin[pl.ds(k * WCHUNK, WCHUNK), :]          # [Wc, 128]
-        cw = cwin[pl.ds(k * WCHUNK, WCHUNK), :]          # [Wc, F]
-        diff = q[:, None, :] - pw[None, :, :]            # [T, Wc, 128]
-        d2 = jnp.sum(diff * diff * lmask, axis=2)        # [T, Wc]
-        bias = jnp.where(d2 < r2, 0.0, NEG_INF)          # [T, Wc]
-        masked = cw[None, :, :] + bias[:, :, None]       # [T, Wc, F]
+        sl = pl.ds(k * WCHUNK, WCHUNK)
+        cw = cwin[sl, :]                                 # [Wc, F]
+        de = qe[:, None, :] - ewin[sl, :][None, :, :]    # [T, Wc, F]
+        dp = qp[:, None, :] - pwin[sl, :][None, :, :]
+        d2 = de * de + dp * dp
+        masked = jnp.where(d2 < r2, cw[None, :, :], NEG_INF)
         return jnp.maximum(acc, jnp.max(masked, axis=1))
 
     acc0 = jnp.full((T, F), NEG_INF, cwin.dtype)
     out_ref[0] = jax.lax.fori_loop(0, n_chunks, chunk, acc0)
 
 
-def _bwd_kernel(pos_hbm, m_hbm, g_hbm, ct_ref, pt_ref, dc_ref,
-                mwin, gwin, pwin, sems, *, tile, w_win, r2):
+def _bwd_kernel(eta_hbm, phi_hbm, m_hbm, g_hbm, ct_ref, qe_ref, qp_ref,
+                dc_ref, mwin, gwin, ewin, pwin, sems, *, tile, w_win, r2):
     """dc[s,h] = Σ_q [adj(q,s) ∧ c[s,h] == m[q,h]] · g[q,h].
 
     Source-tile centric: the queries whose windows include source s lie in
     the same symmetric window around s, so the structure mirrors forward
-    with (m, g) windows DMA'd instead of c."""
+    with (m, g) windows DMA'd instead of c; ``qe/qp`` are THIS tile's
+    (source) coordinates, ewin/pwin the window (query) coordinates."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     s = i * tile
 
-    mc = pltpu.make_async_copy(m_hbm.at[b, pl.ds(s, w_win), :], mwin, sems.at[0])
-    gc = pltpu.make_async_copy(g_hbm.at[b, pl.ds(s, w_win), :], gwin, sems.at[1])
-    pc = pltpu.make_async_copy(pos_hbm.at[b, pl.ds(s, w_win), :], pwin, sems.at[2])
-    mc.start()
-    gc.start()
-    pc.start()
+    copies = [
+        pltpu.make_async_copy(src.at[b, pl.ds(s, w_win), :], dst, sems.at[j])
+        for j, (src, dst) in enumerate(
+            [(m_hbm, mwin), (g_hbm, gwin), (eta_hbm, ewin), (phi_hbm, pwin)])
+    ]
+    for cp in copies:
+        cp.start()
     ct = ct_ref[0]                    # [T, F] this tile's c values
-    pt = pt_ref[0]                    # [T, 128] this tile's positions
-    mc.wait()
-    gc.wait()
-    pc.wait()
+    qe = qe_ref[0]                    # [T, F] per-lane source coords
+    qp = qp_ref[0]
+    for cp in copies:
+        cp.wait()
 
-    lmask = _lane_mask_f32((1, 1, LANE))
     n_chunks = w_win // WCHUNK
 
     def chunk(k, acc):
-        pw = pwin[pl.ds(k * WCHUNK, WCHUNK), :]          # [Wc, 128] query pos
-        mw = mwin[pl.ds(k * WCHUNK, WCHUNK), :]          # [Wc, F] query max
-        gw = gwin[pl.ds(k * WCHUNK, WCHUNK), :]          # [Wc, F] query grad
-        diff = pt[:, None, :] - pw[None, :, :]           # [T, Wc, 128]
-        d2 = jnp.sum(diff * diff * lmask, axis=2)        # [T, Wc]
-        adjf = jnp.where(d2 < r2, 1.0, 0.0)              # [T, Wc]
-        eq = ct[:, None, :] == mw[None, :, :]            # [T, Wc, F] bool
-        hit = jnp.where(eq, adjf[:, :, None], 0.0)       # [T, Wc, F]
-        return acc + jnp.sum(hit * gw[None, :, :], axis=1)
+        sl = pl.ds(k * WCHUNK, WCHUNK)
+        mw = mwin[sl, :]                                 # [Wc, F] query max
+        gw = gwin[sl, :]                                 # [Wc, F] query grad
+        de = qe[:, None, :] - ewin[sl, :][None, :, :]    # [T, Wc, F]
+        dp = qp[:, None, :] - pwin[sl, :][None, :, :]
+        d2 = de * de + dp * dp
+        hit = (d2 < r2) & (ct[:, None, :] == mw[None, :, :])
+        return acc + jnp.sum(jnp.where(hit, gw[None, :, :], 0.0), axis=1)
 
     acc0 = jnp.zeros((ct.shape[0], ct.shape[1]), ct.dtype)
     dc_ref[0] = jax.lax.fori_loop(0, n_chunks, chunk, acc0)
 
 
-def _pad_lane(arr, value=0.0):
-    """Pad the feature axis up to a lane multiple."""
+# ------------------------------------------------------------ packing
+
+
+def _pack_factor(H: int) -> int:
+    return LANE // H if H <= LANE and LANE % H == 0 else 1
+
+
+def _pack_features(arr: jnp.ndarray, pack: int, fill: float = 0.0):
+    """[B, N, H] → [ceil(B/pack), N, pack*H] lane packing."""
+    B, N, H = arr.shape
+    Bp = -(-B // pack)
+    if Bp * pack != B:
+        arr = jnp.pad(arr, ((0, Bp * pack - B), (0, 0), (0, 0)),
+                      constant_values=fill)
+    return (arr.reshape(Bp, pack, N, H).transpose(0, 2, 1, 3)
+            .reshape(Bp, N, pack * H))
+
+
+def _unpack_features(arr: jnp.ndarray, pack: int, B: int, H: int):
+    Bp, N, F = arr.shape
+    out = (arr.reshape(Bp, N, pack, H).transpose(0, 2, 1, 3)
+           .reshape(Bp * pack, N, H))
+    return out[:B]
+
+
+def _pack_coords(coord: jnp.ndarray, pack: int, H: int):
+    """[B, N] per-event coordinate → [ceil(B/pack), N, pack*H] with the
+    value broadcast across each event's lane group (+1e9 batch padding)."""
+    rep = jnp.broadcast_to(coord[..., None], coord.shape + (H,))
+    return _pack_features(rep, pack, fill=PAD_POS)
+
+
+def _lane_pad(arr, value=0.0):
     H = arr.shape[-1]
     F = -(-H // LANE) * LANE
     if F == H:
@@ -141,10 +168,23 @@ def _pad_lane(arr, value=0.0):
 
 def _grid_params(N, halo, tile):
     assert N % tile == 0, f"N={N} must be a multiple of tile={tile}"
-    halo_pad = -(-halo // WCHUNK) * WCHUNK           # align halo to chunks
+    halo_pad = -(-halo // 64) * 64
     w_win = tile + 2 * halo_pad
-    assert w_win % WCHUNK == 0
     return halo_pad, w_win
+
+
+def _prepare(c, pos, halo_pad, pack, m_fill=0.0):
+    """Pack + halo-pad all kernel operands."""
+    B, N, H = c.shape
+    cpk = _lane_pad(_pack_features(c, pack, fill=m_fill), value=m_fill)
+    eta = _lane_pad(_pack_coords(pos[..., 0], pack, H), value=PAD_POS)
+    phi = _lane_pad(_pack_coords(pos[..., 1], pack, H), value=PAD_POS)
+
+    def halo(arr, fill):
+        return jnp.pad(arr, ((0, 0), (halo_pad, halo_pad), (0, 0)),
+                       constant_values=fill)
+
+    return halo(cpk, m_fill), halo(eta, PAD_POS), halo(phi, PAD_POS), eta, phi
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -158,44 +198,39 @@ def window_max(c, pos, r2: float, halo: int, tile: int = 128,
     return _window_max_impl(c, pos, r2, halo, tile, interpret)
 
 
-def _prep_pos(pos, halo_pad):
-    """[B, N, 2] → halo-padded [B, Np, 128] (eta lane 0, phi lane 1,
-    padding rows at +1e9)."""
-    p = jnp.pad(pos, ((0, 0), (halo_pad, halo_pad), (0, 0)),
-                constant_values=PAD_POS)
-    return jnp.pad(p, ((0, 0), (0, 0), (0, LANE - p.shape[-1])))
-
-
 def _window_max_impl(c, pos, r2, halo, tile, interpret):
     B, N, H = c.shape
     tile = min(tile, N)
     halo_pad, w_win = _grid_params(N, halo, tile)
-    cpad = _pad_lane(jnp.pad(c, ((0, 0), (halo_pad, halo_pad), (0, 0))))
-    ppad = _prep_pos(pos, halo_pad)
-    qpos = _prep_pos(pos, 0)
-    F = cpad.shape[-1]
+    pack = _pack_factor(H)
+    cpad, eta_pad, phi_pad, qe, qp = _prepare(c, pos, halo_pad, pack)
+    Bp, _, F = qe.shape
 
     kernel = functools.partial(_fwd_kernel, tile=tile, w_win=w_win, r2=r2)
     m = pl.pallas_call(
         kernel,
-        grid=(B, N // tile),
+        grid=(Bp, N // tile),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),            # c_pad (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),            # pos_pad (HBM)
-            pl.BlockSpec((1, tile, LANE), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),           # query pos tile
+            pl.BlockSpec(memory_space=pltpu.ANY),            # eta_pad (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),            # phi_pad (HBM)
+            pl.BlockSpec((1, tile, F), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),           # query eta
+            pl.BlockSpec((1, tile, F), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),           # query phi
         ],
         out_specs=pl.BlockSpec((1, tile, F), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, F), c.dtype),
+        out_shape=jax.ShapeDtypeStruct((Bp, N, F), c.dtype),
         scratch_shapes=[
             pltpu.VMEM((w_win, F), c.dtype),
-            pltpu.VMEM((w_win, LANE), pos.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((w_win, F), jnp.float32),
+            pltpu.VMEM((w_win, F), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(cpad, ppad, qpos)
-    return m[..., :H]
+    )(cpad, eta_pad, phi_pad, qe, qp)
+    return _unpack_features(m, pack, B, H)
 
 
 def _window_max_fwd(c, pos, r2, halo, tile, interpret):
@@ -208,46 +243,51 @@ def _window_max_bwd(r2, halo, tile, interpret, res, g):
     B, N, H = c.shape
     tile_ = min(tile, N)
     halo_pad, w_win = _grid_params(N, halo, tile_)
+    pack = _pack_factor(H)
     # m of padded/empty rows is -inf; grads there are irrelevant but must
     # not poison the equality check -> replace by +inf (never equals a real
-    # c) and zero the incoming grad.  Lane padding uses the same sentinels.
+    # c) and zero the incoming grad.  All pads use the same sentinels.
     inf = float("inf")
     finite = jnp.isfinite(m)
     m_safe = jnp.where(finite, m, inf)
     g_safe = jnp.where(finite, g, 0.0)
-    mpad = _pad_lane(jnp.pad(m_safe, ((0, 0), (halo_pad, halo_pad), (0, 0)),
-                             constant_values=inf), value=inf)
-    gpad = _pad_lane(jnp.pad(g_safe, ((0, 0), (halo_pad, halo_pad), (0, 0))))
-    ppad = _prep_pos(pos, halo_pad)
-    qpos = _prep_pos(pos, 0)
-    cl = _pad_lane(c)
-    F = cl.shape[-1]
+
+    mpad, eta_pad, phi_pad, qe, qp = _prepare(m_safe, pos, halo_pad, pack,
+                                              m_fill=inf)
+    gpk = _lane_pad(_pack_features(g_safe, pack))
+    gpad = jnp.pad(gpk, ((0, 0), (halo_pad, halo_pad), (0, 0)))
+    cl = _lane_pad(_pack_features(c, pack))
+    Bp, _, F = qe.shape
 
     kernel = functools.partial(_bwd_kernel, tile=tile_, w_win=w_win, r2=r2)
     dc = pl.pallas_call(
         kernel,
-        grid=(B, N // tile_),
+        grid=(Bp, N // tile_),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),            # pos_pad (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),            # eta_pad (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),            # phi_pad (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),            # m_pad (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),            # g_pad (HBM)
             pl.BlockSpec((1, tile_, F), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),           # c tile
-            pl.BlockSpec((1, tile_, LANE), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),           # pos tile
+            pl.BlockSpec((1, tile_, F), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),           # tile eta
+            pl.BlockSpec((1, tile_, F), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),           # tile phi
         ],
         out_specs=pl.BlockSpec((1, tile_, F), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, F), c.dtype),
+        out_shape=jax.ShapeDtypeStruct((Bp, N, F), c.dtype),
         scratch_shapes=[
             pltpu.VMEM((w_win, F), c.dtype),                 # m window
             pltpu.VMEM((w_win, F), c.dtype),                 # g window
-            pltpu.VMEM((w_win, LANE), pos.dtype),            # pos window
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((w_win, F), jnp.float32),             # eta window
+            pltpu.VMEM((w_win, F), jnp.float32),             # phi window
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
-    )(ppad, mpad, gpad, cl, qpos)
-    return dc[..., :H], jnp.zeros_like(pos)
+    )(eta_pad, phi_pad, mpad, gpad, cl, qe, qp)
+    return _unpack_features(dc, pack, B, H), jnp.zeros_like(pos)
 
 
 window_max.defvjp(_window_max_fwd, _window_max_bwd)
