@@ -106,6 +106,33 @@ def main() -> None:
     factored = grad_of(lambda x, w: edgeconv_linear(x, nbr, w, bias, "max"))
     t_factored = _time(factored, x, w)
 
+    # End-to-end train step (graph build + fwd + loss + bwd + AdamW) on the
+    # flagship model, window mode — the full per-step pipeline of reference
+    # train.py:39-54 as ONE compiled program.
+    from deepmetv2_tpu.config import Config, DataConfig, GraphConfig
+    from deepmetv2_tpu.models import graph_met_init
+    from deepmetv2_tpu.train.step import init_train_state, make_train_step
+
+    halo_c = max(64, -(-halo // 64) * 64)
+    cfg = Config(graph=GraphConfig(mode="window", window_halo=halo_c),
+                 data=DataConfig(batch_size=B, node_buckets=(N,)))
+    params, bn = graph_met_init(jax.random.PRNGKey(0))
+    state = init_train_state(params, bn, cfg)
+    step = make_train_step(cfg)
+
+    def time_steps(step, state, iters):
+        s, loss = step(state, batch)          # compile + warmup
+        for _ in range(2):
+            s, loss = step(s, batch)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s, loss = step(s, batch)
+        jax.block_until_ready(loss)
+        return (time.perf_counter() - t0) / iters
+
+    t_step = time_steps(step, state, ITERS)
+
     result = {
         "metric": "edgeconv_fwd_bwd_edges_per_s",
         "value": edges / t_fast,
@@ -117,6 +144,8 @@ def main() -> None:
             "window_pallas_ms": t_fast * 1e3,
             "naive_refdesign_ms": t_naive * 1e3,
             "factored_nbrlist_ms": t_factored * 1e3,
+            "train_step_window_ms": t_step * 1e3,
+            "train_step_events_per_s": B / t_step,
             "device": str(jax.devices()[0]),
         },
     }

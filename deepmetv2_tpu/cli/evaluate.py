@@ -29,6 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpts", default="ckpts")
     p.add_argument("--synthetic", type=int, default=0, metavar="N")
     p.add_argument("--batch_size", type=int, default=40)  # evaluate.py:176
+    p.add_argument("--graph_mode", choices=["window", "neighbor_list"],
+                   default="window", help="see cli.train --graph_mode")
     p.add_argument("--from_torch", default=None,
                    help="evaluate a reference .pth.tar instead of a .ckpt")
     return p
@@ -36,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    from deepmetv2_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     cfg = Config()
 
     if args.synthetic:
@@ -49,6 +54,9 @@ def main(argv=None) -> int:
                                    batch_size=args.batch_size,
                                    validation_split=0.2,
                                    buckets=cfg.data.node_buckets)
+
+    from deepmetv2_tpu.cli.train import apply_graph_mode
+    cfg = apply_graph_mode(cfg, args, loaders["test"].dataset)
 
     ckpt_dir = osp.join(os.environ.get("PWD", "."), args.ckpts)
     if args.from_torch:

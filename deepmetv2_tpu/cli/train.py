@@ -38,13 +38,39 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0, help="model init seed")
     p.add_argument("--mode", choices=["sequential", "bucketed"],
                    default="sequential", help="batching mode")
+    p.add_argument("--graph_mode", choices=["window", "neighbor_list"],
+                   default="window",
+                   help="'window': implicit eta-sorted radius graph (Pallas "
+                        "fast path, uncapped degree; the halo is sized from "
+                        "the dataset automatically); 'neighbor_list': "
+                        "explicit capped-degree lists (reference-cap "
+                        "semantics, train.py:48)")
     p.add_argument("--from_torch", default=None,
                    help="warm-start from a reference .pth.tar checkpoint")
     return p
 
 
+def apply_graph_mode(cfg: Config, args, all_events) -> Config:
+    """Resolve --graph_mode into the config; in window mode, size the
+    compiled halo from the data (max sorted-order neighbor span, rounded up
+    to the 64-row DMA grid)."""
+    from deepmetv2_tpu.config import GraphConfig
+    from deepmetv2_tpu.data.sorting import required_halo_events
+
+    if args.graph_mode != "window":
+        return cfg
+    halo = required_halo_events(all_events, cfg.graph.delta_r)
+    halo = max(64, -(-halo // 64) * 64)
+    return dataclasses.replace(
+        cfg, graph=dataclasses.replace(cfg.graph, mode="window",
+                                       window_halo=halo))
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    from deepmetv2_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     cfg = Config(data=DataConfig(batch_size=args.batch_size))
     if args.lr is not None:
@@ -67,7 +93,10 @@ def main(argv=None) -> int:
             validation_split=cfg.data.validation_split,
             buckets=cfg.data.node_buckets, mode=args.mode)
 
+    cfg = apply_graph_mode(cfg, args, loaders["train"].dataset)
     print(len(loaders["train"]), len(loaders["test"]))
+    if cfg.graph.mode == "window":
+        print(f"graph mode: window (halo {cfg.graph.window_halo})")
     print("devices:", jax.devices())
 
     if args.from_torch:

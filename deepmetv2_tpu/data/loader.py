@@ -78,6 +78,7 @@ class PaddedLoader:
         buckets: Sequence[int],
         mode: str = "sequential",
         pad_batches: bool = True,
+        cache: bool = True,
     ):
         self.dataset = dataset
         self.indices = np.asarray(indices, dtype=np.int64)
@@ -87,6 +88,10 @@ class PaddedLoader:
         self.mode = mode
         self.pad_batches = pad_batches
         self._batches = self._plan()
+        # The plan and padding are deterministic, so the collated batches
+        # can be memoized: epoch 2+ replays pre-built host arrays with zero
+        # collation work (the reference re-collates every epoch).
+        self._cache: Optional[List[EventBatch]] = [] if cache else None
 
     def _plan(self) -> List[np.ndarray]:
         bs = self.batch_size
@@ -107,10 +112,18 @@ class PaddedLoader:
         return len(self._batches)
 
     def __iter__(self) -> Iterator[EventBatch]:
+        if self._cache:
+            yield from self._cache
+            return
         pad_to = self.batch_size if self.pad_batches else None
+        built: List[EventBatch] = []
         for batch_idx in self._batches:
             events = [self.dataset[int(i)] for i in batch_idx]
-            yield collate(events, buckets=self.buckets, pad_events_to=pad_to)
+            b = collate(events, buckets=self.buckets, pad_events_to=pad_to)
+            built.append(b)
+            yield b
+        if self._cache is not None:      # publish only complete epochs
+            self._cache = built
 
 
 def fetch_dataloader(

@@ -49,6 +49,24 @@ def sort_by_eta(batch: EventBatch) -> Tuple[EventBatch, jnp.ndarray]:
     return out, perm
 
 
+def required_halo_events(events, r: float) -> int:
+    """``required_halo`` over raw ``(x, y)`` event tuples (x ``[N, 11]`` in
+    reference feature order, eta at column 3) — lets a driver size the
+    compiled window before any batch is collated."""
+    import numpy as np
+
+    worst = 0
+    for x, _ in events:
+        e = np.sort(np.asarray(x[:, 3], dtype=np.float64))
+        if len(e) == 0:
+            continue
+        lo = np.searchsorted(e, e - r, side="left")
+        hi = np.searchsorted(e, e + r, side="right")
+        idx = np.arange(len(e))
+        worst = max(worst, int(np.max(idx - lo)), int(np.max(hi - 1 - idx)))
+    return worst
+
+
 def required_halo(batch: EventBatch, r: float) -> int:
     """Smallest halo H such that, in the eta-sorted order, every pair with
     |Δeta| < r is within H index positions.  Host-side (concrete) helper

@@ -51,11 +51,13 @@ LANE = 128
 WCHUNK = 32  # window sublane chunk (VMEM per chunk: T*WCHUNK*128*4 = 2 MB)
 
 
-def _fwd_kernel(c_hbm, eta_hbm, phi_hbm, qe_ref, qp_ref, out_ref,
-                cwin, ewin, pwin, sems, *, tile, w_win, r2):
+def _fwd_kernel(c_hbm, eta_hbm, phi_hbm, qe_ref, qp_ref, lo_ref, hi_ref,
+                out_ref, cwin, ewin, pwin, sems, *, tile, w_win, r2):
     b = pl.program_id(0)
     i = pl.program_id(1)
     s = i * tile  # window start in the halo-padded source arrays
+    lo = lo_ref[b, i]  # first / one-past-last window chunk that can hold a
+    hi = hi_ref[b, i]  # neighbor of this tile (eta-interval prune, wrapper)
 
     copies = [
         pltpu.make_async_copy(src.at[b, pl.ds(s, w_win), :], dst, sems.at[j])
@@ -70,7 +72,6 @@ def _fwd_kernel(c_hbm, eta_hbm, phi_hbm, qe_ref, qp_ref, out_ref,
         cp.wait()
 
     T, F = qe.shape
-    n_chunks = w_win // WCHUNK
 
     def chunk(k, acc):
         sl = pl.ds(k * WCHUNK, WCHUNK)
@@ -82,11 +83,12 @@ def _fwd_kernel(c_hbm, eta_hbm, phi_hbm, qe_ref, qp_ref, out_ref,
         return jnp.maximum(acc, jnp.max(masked, axis=1))
 
     acc0 = jnp.full((T, F), NEG_INF, cwin.dtype)
-    out_ref[0] = jax.lax.fori_loop(0, n_chunks, chunk, acc0)
+    out_ref[0] = jax.lax.fori_loop(lo, hi, chunk, acc0)
 
 
 def _bwd_kernel(eta_hbm, phi_hbm, m_hbm, g_hbm, ct_ref, qe_ref, qp_ref,
-                dc_ref, mwin, gwin, ewin, pwin, sems, *, tile, w_win, r2):
+                lo_ref, hi_ref, dc_ref, mwin, gwin, ewin, pwin, sems, *,
+                tile, w_win, r2):
     """dc[s,h] = Σ_q [adj(q,s) ∧ c[s,h] == m[q,h]] · g[q,h].
 
     Source-tile centric: the queries whose windows include source s lie in
@@ -96,6 +98,8 @@ def _bwd_kernel(eta_hbm, phi_hbm, m_hbm, g_hbm, ct_ref, qe_ref, qp_ref,
     b = pl.program_id(0)
     i = pl.program_id(1)
     s = i * tile
+    lo = lo_ref[b, i]  # same bounds as forward: the adjacency relation is
+    hi = hi_ref[b, i]  # symmetric, so the pruned interval is identical
 
     copies = [
         pltpu.make_async_copy(src.at[b, pl.ds(s, w_win), :], dst, sems.at[j])
@@ -110,8 +114,6 @@ def _bwd_kernel(eta_hbm, phi_hbm, m_hbm, g_hbm, ct_ref, qe_ref, qp_ref,
     for cp in copies:
         cp.wait()
 
-    n_chunks = w_win // WCHUNK
-
     def chunk(k, acc):
         sl = pl.ds(k * WCHUNK, WCHUNK)
         mw = mwin[sl, :]                                 # [Wc, F] query max
@@ -123,7 +125,7 @@ def _bwd_kernel(eta_hbm, phi_hbm, m_hbm, g_hbm, ct_ref, qe_ref, qp_ref,
         return acc + jnp.sum(jnp.where(hit, gw[None, :, :], 0.0), axis=1)
 
     acc0 = jnp.zeros((ct.shape[0], ct.shape[1]), ct.dtype)
-    dc_ref[0] = jax.lax.fori_loop(0, n_chunks, chunk, acc0)
+    dc_ref[0] = jax.lax.fori_loop(lo, hi, chunk, acc0)
 
 
 # ------------------------------------------------------------ packing
@@ -173,6 +175,47 @@ def _grid_params(N, halo, tile):
     return halo_pad, w_win
 
 
+def _chunk_bounds(eta, halo_pad, tile, r, pack, n_chunks):
+    """Per-(packed-batch, tile) window-chunk interval [lo, hi) that can
+    contain neighbors, from eta intervals alone (eta is the sorted axis, so
+    a chunk whose eta range misses [tile_min − r, tile_max + r] holds no
+    in-radius pair for any query row of the tile — for ANY phi).  The
+    radius relation is symmetric, so the same interval serves the forward
+    (query-centric) and backward (source-centric) kernels.
+
+    ``eta``: [B, N] with PAD_POS on padded rows.  Shapes must align to the
+    WCHUNK grid (checked by the caller).  Returns int32 [Bp, n_tiles] x2.
+    """
+    B, N = eta.shape
+    n_tiles = N // tile
+    e = jnp.where(eta < PAD_POS / 2, eta, jnp.inf)
+    et = e.reshape(B, n_tiles, tile)
+    qmin = jnp.min(et, axis=-1)                               # inf if empty
+    qmax = jnp.max(jnp.where(jnp.isfinite(et), et, -jnp.inf), axis=-1)
+
+    epad = jnp.pad(e, ((0, 0), (halo_pad, halo_pad)),
+                   constant_values=jnp.inf)
+    G = (N + 2 * halo_pad) // WCHUNK
+    eg = epad.reshape(B, G, WCHUNK)
+    gmin = jnp.min(eg, axis=-1)
+    gmax = jnp.max(jnp.where(jnp.isfinite(eg), eg, -jnp.inf), axis=-1)
+    base = (jnp.arange(n_tiles) * tile) // WCHUNK             # [n_tiles]
+    idx = base[:, None] + jnp.arange(n_chunks)[None, :]       # [n_tiles, C]
+    cmin = gmin[:, idx]                                       # [B, n_tiles, C]
+    cmax = gmax[:, idx]
+    needed = ((cmin <= qmax[..., None] + r) &
+              (cmax >= qmin[..., None] - r))                  # [B, n_tiles, C]
+
+    Bp = -(-B // pack)
+    if Bp * pack != B:
+        needed = jnp.pad(needed, ((0, Bp * pack - B), (0, 0), (0, 0)))
+    needed = needed.reshape(Bp, pack, n_tiles, n_chunks).any(axis=1)
+    k = jnp.arange(n_chunks)
+    hi = jnp.max(jnp.where(needed, k + 1, 0), axis=-1).astype(jnp.int32)
+    lo = jnp.min(jnp.where(needed, k, n_chunks), axis=-1).astype(jnp.int32)
+    return jnp.minimum(lo, hi), hi
+
+
 def _prepare(c, pos, halo_pad, pack, m_fill=0.0):
     """Pack + halo-pad all kernel operands."""
     B, N, H = c.shape
@@ -198,6 +241,17 @@ def window_max(c, pos, r2: float, halo: int, tile: int = 128,
     return _window_max_impl(c, pos, r2, halo, tile, interpret)
 
 
+def _bounds_or_static(pos, halo_pad, w_win, tile, r2, pack, Bp, n_tiles):
+    """Dynamic eta-pruned chunk bounds when shapes align to the WCHUNK
+    grid; otherwise the static full sweep (tiny-shape test configs)."""
+    n_chunks = w_win // WCHUNK
+    if tile % WCHUNK == 0 and halo_pad % WCHUNK == 0 and w_win % WCHUNK == 0:
+        return _chunk_bounds(pos[..., 0], halo_pad, tile, r2 ** 0.5,
+                             pack, n_chunks)
+    return (jnp.zeros((Bp, n_tiles), jnp.int32),
+            jnp.full((Bp, n_tiles), n_chunks, jnp.int32))
+
+
 def _window_max_impl(c, pos, r2, halo, tile, interpret):
     B, N, H = c.shape
     tile = min(tile, N)
@@ -205,19 +259,23 @@ def _window_max_impl(c, pos, r2, halo, tile, interpret):
     pack = _pack_factor(H)
     cpad, eta_pad, phi_pad, qe, qp = _prepare(c, pos, halo_pad, pack)
     Bp, _, F = qe.shape
+    lo, hi = _bounds_or_static(pos, halo_pad, w_win, tile, r2, pack,
+                               Bp, N // tile)
 
     kernel = functools.partial(_fwd_kernel, tile=tile, w_win=w_win, r2=r2)
     m = pl.pallas_call(
         kernel,
         grid=(Bp, N // tile),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),            # c_pad (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),            # eta_pad (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),            # phi_pad (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),            # c_pad (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),            # eta_pad (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),            # phi_pad (HBM)
             pl.BlockSpec((1, tile, F), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),           # query eta
             pl.BlockSpec((1, tile, F), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),           # query phi
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # lo [Bp, nT]
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # hi [Bp, nT]
         ],
         out_specs=pl.BlockSpec((1, tile, F), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
@@ -229,7 +287,7 @@ def _window_max_impl(c, pos, r2, halo, tile, interpret):
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(cpad, eta_pad, phi_pad, qe, qp)
+    )(cpad, eta_pad, phi_pad, qe, qp, lo, hi)
     return _unpack_features(m, pack, B, H)
 
 
@@ -258,22 +316,26 @@ def _window_max_bwd(r2, halo, tile, interpret, res, g):
     gpad = jnp.pad(gpk, ((0, 0), (halo_pad, halo_pad), (0, 0)))
     cl = _lane_pad(_pack_features(c, pack))
     Bp, _, F = qe.shape
+    lo, hi = _bounds_or_static(pos, halo_pad, w_win, tile_, r2, pack,
+                               Bp, N // tile_)
 
     kernel = functools.partial(_bwd_kernel, tile=tile_, w_win=w_win, r2=r2)
     dc = pl.pallas_call(
         kernel,
         grid=(Bp, N // tile_),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),            # eta_pad (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),            # phi_pad (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),            # m_pad (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),            # g_pad (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),            # eta_pad (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),            # phi_pad (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),            # m_pad (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),            # g_pad (HBM)
             pl.BlockSpec((1, tile_, F), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),           # c tile
             pl.BlockSpec((1, tile_, F), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),           # tile eta
             pl.BlockSpec((1, tile_, F), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),           # tile phi
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # lo [Bp, nT]
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # hi [Bp, nT]
         ],
         out_specs=pl.BlockSpec((1, tile_, F), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
@@ -286,7 +348,7 @@ def _window_max_bwd(r2, halo, tile, interpret, res, g):
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
-    )(eta_pad, phi_pad, mpad, gpad, cl, qe, qp)
+    )(eta_pad, phi_pad, mpad, gpad, cl, qe, qp, lo, hi)
     return _unpack_features(dc, pack, B, H), jnp.zeros_like(pos)
 
 

@@ -32,22 +32,26 @@ from deepmetv2_tpu.utils.logging import RunningAverage, StepTimer
 
 def train_one_epoch(state, train_step, loader: PaddedLoader, epoch: int,
                     log_every: int = 50, verbose: bool = True):
-    """One pass over the training set (reference train.py:34-60)."""
+    """One pass over the training set (reference train.py:34-60).
+
+    Unlike the reference's per-step ``loss.item()`` device sync
+    (train.py:54), losses stay on device until the epoch ends — steps
+    pipeline back-to-back and the host never blocks the TPU."""
     losses = []
     avg = RunningAverage()
     timer = StepTimer()
     timer.start()
     for i, batch in enumerate(loader):
         state, loss = train_step(state, batch)
-        loss = float(loss)
-        losses.append(loss)
-        avg.update(loss)
+        losses.append(loss)            # device scalar — no sync
         timer.update(num_edges=0, num_nodes=int(np.sum(np.asarray(batch.num_valid))))
         if verbose and (i + 1) % log_every == 0:
+            avg.update(float(loss))    # sync only at the logging cadence
             r = timer.rates()
             print(f"  epoch {epoch} step {i+1}/{len(loader)} "
                   f"loss {avg():.3f} ({r['steps_per_s']:.2f} it/s)")
-    mean_loss = float(np.mean(losses)) if losses else float("inf")
+    mean_loss = (float(np.mean([float(l) for l in losses]))
+                 if losses else float("inf"))
     if verbose:
         print(f"Training epoch: {epoch:02d}, MSE: {mean_loss:.4f}")
     return state, mean_loss

@@ -116,13 +116,33 @@ def make_train_step(cfg: Config):
 
 
 def make_eval_step(cfg: Config):
+    """Eval step returning weights in the CALLER's candidate order.
+
+    In window mode the forward runs on the eta-sorted batch; the weights
+    are unsorted back through the inverse permutation so downstream
+    consumers (resolution metrics, plt_weight histograms — reference
+    evaluate.py:103, plt_weight.py:124-131) can pair them with their own
+    per-candidate features."""
+
     @jax.jit
     def eval_step(params, bn_state, batch: EventBatch):
-        batch, nbr = build_graph(batch, cfg)
-        w, _ = net_apply(params, bn_state, batch, nbr, train=False,
+        if cfg.graph.mode == "window":
+            from deepmetv2_tpu.data.sorting import sort_by_eta
+
+            gbatch, perm = sort_by_eta(batch)
+            _, nbr = build_graph(gbatch, cfg)
+            w, _ = net_apply(params, bn_state, gbatch, nbr, train=False,
+                             cfg=cfg.model)
+            loss = loss_fn(w, gbatch)
+            inv = jnp.argsort(perm, axis=1)
+            w = jnp.take_along_axis(w, inv, axis=1)
+            return w, loss, jnp.zeros((batch.batch_size,), jnp.int32)
+
+        gbatch, nbr = build_graph(batch, cfg)
+        w, _ = net_apply(params, bn_state, gbatch, nbr, train=False,
                          cfg=cfg.model)
         edges = (nbr.num_edges() if isinstance(nbr, Neighborhood)
                  else jnp.zeros((batch.batch_size,), jnp.int32))
-        return w, loss_fn(w, batch), edges
+        return w, loss_fn(w, gbatch), edges
 
     return eval_step

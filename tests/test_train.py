@@ -108,6 +108,31 @@ class TestEvaluate:
             assert edges.shape == (41,)
 
 
+class TestEvalWindowModeOrdering:
+    def test_window_eval_weights_in_caller_order(self, loaders):
+        """Window-mode eval must return weights aligned with the caller's
+        (unsorted) candidate order — resolution metrics pair w with px/py
+        elementwise (reference model/net.py:129-133)."""
+        import dataclasses
+
+        cfg_nl = _small_cfg()
+        cfg_nl = dataclasses.replace(
+            cfg_nl, graph=GraphConfig(max_neighbors=128))  # uncapped
+        cfg_win = dataclasses.replace(
+            cfg_nl, graph=GraphConfig(mode="window", window_halo=128))
+        params, bn = graph_met_init(jax.random.PRNGKey(3))
+        step_nl = make_eval_step(cfg_nl)
+        step_win = make_eval_step(cfg_win)
+        for batch in loaders["test"]:
+            w1, l1, _ = step_nl(params, bn, batch)
+            w2, l2, _ = step_win(params, bn, batch)
+            np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+            np.testing.assert_allclose(np.asarray(w1)[np.asarray(batch.mask)],
+                                       np.asarray(w2)[np.asarray(batch.mask)],
+                                       rtol=1e-4, atol=1e-5)
+            break
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path, loaders):
         cfg = _small_cfg()

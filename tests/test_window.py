@@ -169,6 +169,58 @@ class TestPallasInterpret:
                                    rtol=1e-4, atol=1e-4)
 
 
+class TestPallasChunkPruning:
+    """The eta-interval chunk pruning (dynamic [lo, hi) sweep bounds) must
+    be exact on adversarial layouts: tight clusters separated by gaps much
+    wider than the radius (most chunks prunable), with the fixed halo far
+    larger than any true neighbor span."""
+
+    def test_clustered_eta_matches_xla_window(self):
+        import jax
+        from deepmetv2_tpu.data.batching import EventBatch
+        from deepmetv2_tpu.ops.pallas.edgeconv_window import (
+            window_edgeconv_linear_pallas,
+        )
+
+        rng = np.random.default_rng(11)
+        B, N, H = 3, 256, 8
+        # clusters at eta in {-4, 0, +4}, sigma 0.1 << gap; random phi
+        centers = rng.choice([-4.0, 0.0, 4.0], size=(B, N))
+        eta = np.sort(centers + 0.1 * rng.normal(size=(B, N)), axis=1)
+        phi = rng.uniform(-np.pi, np.pi, size=(B, N))
+        n_valid = np.array([256, 130, 7])  # incl. a nearly-empty event
+        mask = np.arange(N)[None, :] < n_valid[:, None]
+        eta = np.where(mask, eta, np.inf)  # pad rows sort to the end
+        etaphi = jnp.asarray(np.stack([np.where(mask, eta, 0.0),
+                                       np.where(mask, phi, 0.0)], axis=-1),
+                             jnp.float32)
+        maskj = jnp.asarray(mask)
+        x = jnp.asarray(rng.normal(size=(B, N, H)).astype(np.float32))
+        x = jnp.where(maskj[..., None], x, 0.0)
+        w = jnp.asarray(rng.normal(size=(2 * H, H)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(H,)).astype(np.float32))
+        g = WindowGraph(etaphi, maskj, r=0.4, halo=192)  # >> true span
+
+        want = window_edgeconv_linear(x, g, w, bias, reduction="max",
+                                      tile=64)
+        got = window_edgeconv_linear_pallas(x, g, w, bias, tile=128,
+                                            interpret=True)
+        np.testing.assert_allclose(np.asarray(got)[mask],
+                                   np.asarray(want)[mask],
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(fn):
+            return lambda x: jnp.sum(
+                jnp.where(maskj[..., None], fn(x), 0.0) ** 2)
+
+        g1 = jax.grad(loss(lambda x: window_edgeconv_linear(
+            x, g, w, bias, reduction="max", tile=64)))(x)
+        g2 = jax.grad(loss(lambda x: window_edgeconv_linear_pallas(
+            x, g, w, bias, tile=128, interpret=True)))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-4)
+
+
 class TestWindowModeTraining:
     """Full train step in graph mode='window' (XLA window path on CPU)."""
 
