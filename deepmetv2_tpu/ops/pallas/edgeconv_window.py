@@ -48,7 +48,10 @@ from deepmetv2_tpu.ops.window import WindowGraph
 NEG_INF = float("-inf")  # python float: jnp consts can't be captured by kernels
 PAD_POS = 1e9
 LANE = 128
-WCHUNK = 32  # window sublane chunk (VMEM per chunk: T*WCHUNK*128*4 = 2 MB)
+WCHUNK = 16  # window sublane chunk swept per loop iteration
+DEFAULT_TILE = 16  # query rows per grid step; small tiles prune tighter
+# (WCHUNK=16, tile=16 measured fastest on v5e at B8/N2048/H32: the chunk
+# interval [lo,hi) is per tile, so narrow tiles skip most of the window)
 
 
 def _fwd_kernel(c_hbm, eta_hbm, phi_hbm, qe_ref, qp_ref, lo_ref, hi_ref,
@@ -172,10 +175,15 @@ def _grid_params(N, halo, tile):
     assert N % tile == 0, f"N={N} must be a multiple of tile={tile}"
     halo_pad = -(-halo // 64) * 64
     w_win = tile + 2 * halo_pad
-    return halo_pad, w_win
+    # The chunk loop sweeps whole WCHUNK slabs; round the window up and
+    # right-pad the source arrays to match, so a partial trailing chunk can
+    # never be silently dropped (PAD_POS rows are never adjacent to
+    # anything, so the extra rows are inert).
+    extra = -w_win % WCHUNK
+    return halo_pad, w_win + extra, extra
 
 
-def _chunk_bounds(eta, halo_pad, tile, r, pack, n_chunks):
+def _chunk_bounds(eta, halo_pad, extra, tile, r, pack, n_chunks):
     """Per-(packed-batch, tile) window-chunk interval [lo, hi) that can
     contain neighbors, from eta intervals alone (eta is the sorted axis, so
     a chunk whose eta range misses [tile_min − r, tile_max + r] holds no
@@ -193,9 +201,9 @@ def _chunk_bounds(eta, halo_pad, tile, r, pack, n_chunks):
     qmin = jnp.min(et, axis=-1)                               # inf if empty
     qmax = jnp.max(jnp.where(jnp.isfinite(et), et, -jnp.inf), axis=-1)
 
-    epad = jnp.pad(e, ((0, 0), (halo_pad, halo_pad)),
+    epad = jnp.pad(e, ((0, 0), (halo_pad, halo_pad + extra)),
                    constant_values=jnp.inf)
-    G = (N + 2 * halo_pad) // WCHUNK
+    G = (N + 2 * halo_pad + extra) // WCHUNK
     eg = epad.reshape(B, G, WCHUNK)
     gmin = jnp.min(eg, axis=-1)
     gmax = jnp.max(jnp.where(jnp.isfinite(eg), eg, -jnp.inf), axis=-1)
@@ -216,22 +224,23 @@ def _chunk_bounds(eta, halo_pad, tile, r, pack, n_chunks):
     return jnp.minimum(lo, hi), hi
 
 
-def _prepare(c, pos, halo_pad, pack, m_fill=0.0):
-    """Pack + halo-pad all kernel operands."""
+def _prepare(c, pos, halo_pad, extra, pack, m_fill=0.0):
+    """Pack + halo-pad all kernel operands (``extra`` right-pad rows keep
+    the last tile's window a whole number of WCHUNK slabs)."""
     B, N, H = c.shape
     cpk = _lane_pad(_pack_features(c, pack, fill=m_fill), value=m_fill)
     eta = _lane_pad(_pack_coords(pos[..., 0], pack, H), value=PAD_POS)
     phi = _lane_pad(_pack_coords(pos[..., 1], pack, H), value=PAD_POS)
 
     def halo(arr, fill):
-        return jnp.pad(arr, ((0, 0), (halo_pad, halo_pad), (0, 0)),
+        return jnp.pad(arr, ((0, 0), (halo_pad, halo_pad + extra), (0, 0)),
                        constant_values=fill)
 
     return halo(cpk, m_fill), halo(eta, PAD_POS), halo(phi, PAD_POS), eta, phi
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def window_max(c, pos, r2: float, halo: int, tile: int = 128,
+def window_max(c, pos, r2: float, halo: int, tile: int = DEFAULT_TILE,
                interpret: bool = False):
     """``m[b,i,:] = max over w with ‖pos_i − pos_w‖² < r2 of c[b,w,:]``
     (window-limited to ±halo in the sorted order); -inf where no neighbor.
@@ -241,12 +250,16 @@ def window_max(c, pos, r2: float, halo: int, tile: int = 128,
     return _window_max_impl(c, pos, r2, halo, tile, interpret)
 
 
-def _bounds_or_static(pos, halo_pad, w_win, tile, r2, pack, Bp, n_tiles):
+def _bounds_or_static(pos, halo_pad, extra, w_win, tile, r2, pack, Bp,
+                      n_tiles):
     """Dynamic eta-pruned chunk bounds when shapes align to the WCHUNK
-    grid; otherwise the static full sweep (tiny-shape test configs)."""
+    grid; otherwise the static full sweep (tiny-shape test configs).
+    ``w_win`` is always a WCHUNK multiple (see _grid_params), so the
+    static sweep covers the whole window."""
     n_chunks = w_win // WCHUNK
-    if tile % WCHUNK == 0 and halo_pad % WCHUNK == 0 and w_win % WCHUNK == 0:
-        return _chunk_bounds(pos[..., 0], halo_pad, tile, r2 ** 0.5,
+    assert w_win % WCHUNK == 0
+    if tile % WCHUNK == 0 and halo_pad % WCHUNK == 0:
+        return _chunk_bounds(pos[..., 0], halo_pad, extra, tile, r2 ** 0.5,
                              pack, n_chunks)
     return (jnp.zeros((Bp, n_tiles), jnp.int32),
             jnp.full((Bp, n_tiles), n_chunks, jnp.int32))
@@ -255,11 +268,11 @@ def _bounds_or_static(pos, halo_pad, w_win, tile, r2, pack, Bp, n_tiles):
 def _window_max_impl(c, pos, r2, halo, tile, interpret):
     B, N, H = c.shape
     tile = min(tile, N)
-    halo_pad, w_win = _grid_params(N, halo, tile)
+    halo_pad, w_win, extra = _grid_params(N, halo, tile)
     pack = _pack_factor(H)
-    cpad, eta_pad, phi_pad, qe, qp = _prepare(c, pos, halo_pad, pack)
+    cpad, eta_pad, phi_pad, qe, qp = _prepare(c, pos, halo_pad, extra, pack)
     Bp, _, F = qe.shape
-    lo, hi = _bounds_or_static(pos, halo_pad, w_win, tile, r2, pack,
+    lo, hi = _bounds_or_static(pos, halo_pad, extra, w_win, tile, r2, pack,
                                Bp, N // tile)
 
     kernel = functools.partial(_fwd_kernel, tile=tile, w_win=w_win, r2=r2)
@@ -300,7 +313,7 @@ def _window_max_bwd(r2, halo, tile, interpret, res, g):
     c, pos, m = res
     B, N, H = c.shape
     tile_ = min(tile, N)
-    halo_pad, w_win = _grid_params(N, halo, tile_)
+    halo_pad, w_win, extra = _grid_params(N, halo, tile_)
     pack = _pack_factor(H)
     # m of padded/empty rows is -inf; grads there are irrelevant but must
     # not poison the equality check -> replace by +inf (never equals a real
@@ -310,13 +323,13 @@ def _window_max_bwd(r2, halo, tile, interpret, res, g):
     m_safe = jnp.where(finite, m, inf)
     g_safe = jnp.where(finite, g, 0.0)
 
-    mpad, eta_pad, phi_pad, qe, qp = _prepare(m_safe, pos, halo_pad, pack,
-                                              m_fill=inf)
+    mpad, eta_pad, phi_pad, qe, qp = _prepare(m_safe, pos, halo_pad, extra,
+                                              pack, m_fill=inf)
     gpk = _lane_pad(_pack_features(g_safe, pack))
-    gpad = jnp.pad(gpk, ((0, 0), (halo_pad, halo_pad), (0, 0)))
+    gpad = jnp.pad(gpk, ((0, 0), (halo_pad, halo_pad + extra), (0, 0)))
     cl = _lane_pad(_pack_features(c, pack))
     Bp, _, F = qe.shape
-    lo, hi = _bounds_or_static(pos, halo_pad, w_win, tile_, r2, pack,
+    lo, hi = _bounds_or_static(pos, halo_pad, extra, w_win, tile_, r2, pack,
                                Bp, N // tile_)
 
     kernel = functools.partial(_bwd_kernel, tile=tile_, w_win=w_win, r2=r2)
@@ -360,7 +373,7 @@ def window_edgeconv_linear_pallas(
     g: WindowGraph,
     weight: jnp.ndarray,       # [2H, Hout] rows [self; diff]
     bias: Optional[jnp.ndarray],
-    tile: int = 128,
+    tile: int = DEFAULT_TILE,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in equivalent of ops/window.window_edgeconv_linear('max') with
