@@ -33,6 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default="window", help="see cli.train --graph_mode")
     p.add_argument("--from_torch", default=None,
                    help="evaluate a reference .pth.tar instead of a .ckpt")
+    p.add_argument("--model", choices=["graphmet", "drn"], default="graphmet",
+                   help="model family the checkpoint belongs to")
     return p
 
 
@@ -65,15 +67,24 @@ def main(argv=None) -> int:
         params, bn_state, _ = import_torch_checkpoint(args.from_torch)
     else:
         import jax
-        template = init_train_state(
-            *graph_met_init(jax.random.PRNGKey(0), cfg.model), cfg)
+        if args.model == "drn":
+            from deepmetv2_tpu.models.drn import drn_init
+            init = drn_init(jax.random.PRNGKey(0), cfg.drn)
+        else:
+            init = graph_met_init(jax.random.PRNGKey(0), cfg.model)
+        template = init_train_state(*init, cfg)
         state, _ = load_checkpoint(
             osp.join(ckpt_dir, args.restore_file + ".ckpt"), template=template)
         params, bn_state = state.params, state.bn_state
 
-    eval_step = make_eval_step(cfg)
+    if args.model == "drn":
+        from deepmetv2_tpu.train.step import make_drn_eval_step
+        eval_step = make_drn_eval_step(cfg)
+    else:
+        eval_step = make_eval_step(cfg)
     test_metrics, resolutions = evaluate(params, bn_state, eval_step,
-                                         loaders["test"], cfg)
+                                         loaders["test"], cfg,
+                                         model=args.model)
     artifacts.save(resolutions,
                    osp.join(ckpt_dir, f"{args.restore_file}.resolutions"))
     print("validation loss:", test_metrics["loss"])

@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=6)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--seed", type=int, default=0, help="model init seed")
+    p.add_argument("--model", choices=["graphmet", "drn"], default="graphmet",
+                   help="'graphmet': flagship per-candidate weight regressor "
+                        "(reference model/net.py:38-47); 'drn': "
+                        "DynamicReductionNetwork direct (MET, phi) head "
+                        "(the reference's commented-out Net, "
+                        "model/net.py:12-37)")
     p.add_argument("--mode", choices=["sequential", "bucketed"],
                    default="sequential", help="batching mode")
     p.add_argument("--graph_mode", choices=["window", "neighbor_list"],
@@ -102,6 +108,9 @@ def main(argv=None) -> int:
     if args.from_torch:
         from deepmetv2_tpu.compat import import_torch_checkpoint
         params, bn_state, _ = import_torch_checkpoint(args.from_torch)
+    elif args.model == "drn":
+        from deepmetv2_tpu.models.drn import drn_init
+        params, bn_state = drn_init(jax.random.PRNGKey(args.seed), cfg.drn)
     else:
         params, bn_state = graph_met_init(jax.random.PRNGKey(args.seed),
                                           cfg.model)
@@ -109,7 +118,7 @@ def main(argv=None) -> int:
 
     ckpt_dir = osp.join(os.environ.get("PWD", "."), args.ckpts)
     fit(state, cfg, loaders["train"], loaders["test"], ckpt_dir,
-        restore_file=args.restore_file)
+        restore_file=args.restore_file, model=args.model)
     return 0
 
 

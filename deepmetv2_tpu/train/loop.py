@@ -58,17 +58,22 @@ def train_one_epoch(state, train_step, loader: PaddedLoader, epoch: int,
 
 
 def evaluate(params, bn_state, eval_step, loader: PaddedLoader,
-             cfg: Config, verbose: bool = True
+             cfg: Config, verbose: bool = True, model: str = "graphmet"
              ) -> Tuple[Dict[str, float], Dict]:
     """Full validation pass + qT-binned resolution summary
-    (reference evaluate.py:31-164)."""
+    (reference evaluate.py:31-164).  ``model`` selects how the eval step's
+    first output is interpreted: per-candidate weights ('graphmet') or a
+    direct cartesian MET estimate ('drn')."""
     losses = []
     qt_arr = np.zeros((0,))
     resolutions_arr: Dict[str, list] = {}
     for batch in loader:
         w, loss, _ = eval_step(params, bn_state, batch)
         losses.append(float(loss))
-        res, qt = metrics_mod.resolution(w, batch)
+        if model == "drn":
+            res, qt = metrics_mod.resolution_from_met(w, batch)
+        else:
+            res, qt = metrics_mod.resolution(w, batch)
         for key, arrs in res.items():
             if key not in resolutions_arr:
                 resolutions_arr[key] = [np.zeros((0,)) for _ in range(3)]
@@ -99,11 +104,20 @@ def fit(
     restore_file: Optional[str] = None,
     epochs: Optional[int] = None,
     verbose: bool = True,
+    model: str = "graphmet",
 ) -> TrainState:
-    """Full training driver (reference train.py:62-145)."""
+    """Full training driver (reference train.py:62-145).  ``model``
+    selects the family: 'graphmet' (flagship weight regressor) or 'drn'
+    (DynamicReductionNetwork direct MET head)."""
     os.makedirs(ckpt_dir, exist_ok=True)
-    train_step = make_train_step(cfg)
-    eval_step = make_eval_step(cfg)
+    if model == "drn":
+        from deepmetv2_tpu.train.step import (make_drn_eval_step,
+                                              make_drn_train_step)
+        train_step = make_drn_train_step(cfg)
+        eval_step = make_drn_eval_step(cfg)
+    else:
+        train_step = make_train_step(cfg)
+        eval_step = make_eval_step(cfg)
     scheduler = ReduceLROnPlateau(
         lr=cfg.optim.lr,
         factor=cfg.optim.plateau_factor,
@@ -149,7 +163,7 @@ def fit(
 
         test_metrics, resolutions = evaluate(
             state.params, state.bn_state, eval_step, val_loader, cfg,
-            verbose=verbose)
+            verbose=verbose, model=model)
         validation_loss = test_metrics["loss"]
         loss_log.write(f"{epoch},{train_loss:.2f},{validation_loss:.2f}\n")
         loss_log.flush()

@@ -42,19 +42,25 @@ def _decompose(vec: jnp.ndarray, v_qt: jnp.ndarray):
 def resolution(
     weights: jnp.ndarray, batch: EventBatch
 ) -> Tuple[Dict[str, List[np.ndarray]], np.ndarray]:
-    """Per-event [u_perp, u_par, response] for the model MET and each
-    baseline MET present in y, plus the event qT
+    """Per-event [u_perp, u_par, response] for the weight-model MET and
+    each baseline MET present in y, plus the event qT
     (reference model/net.py:92-157).  Returns numpy host arrays."""
+    metx, mety = weighted_met(weights, batch)
+    return resolution_from_met(-jnp.stack([metx, mety], axis=1), batch)
+
+
+def resolution_from_met(
+    v_met: jnp.ndarray, batch: EventBatch
+) -> Tuple[Dict[str, List[np.ndarray]], np.ndarray]:
+    """Same summary from a direct cartesian MET estimate [B, 2] (the DRN
+    head, or any external estimator)."""
     y = batch.y
     v_qt = jnp.stack([y[:, 0], y[:, 1]], axis=1)
-
-    metx, mety = weighted_met(weights, batch)
-    v_met = jnp.stack([metx, mety], axis=1)
 
     ev = np.asarray(batch.num_valid) > 0  # skip batch-padding empty events
 
     out: Dict[str, List[np.ndarray]] = {}
-    u_perp, u_par, resp = _decompose(-v_met, v_qt)
+    u_perp, u_par, resp = _decompose(v_met, v_qt)
     out["MET"] = [np.asarray(u_perp)[ev], np.asarray(u_par)[ev],
                   np.asarray(resp)[ev]]
 

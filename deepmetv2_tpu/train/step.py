@@ -20,7 +20,7 @@ from deepmetv2_tpu.config import Config
 from deepmetv2_tpu.data.batching import EventBatch, Neighborhood
 from deepmetv2_tpu.models.graph_met import net_apply
 from deepmetv2_tpu.ops.graph import radius_graph
-from deepmetv2_tpu.train.loss import loss_fn
+from deepmetv2_tpu.train.loss import drn_loss_fn, drn_met_vector, loss_fn
 
 
 class TrainState(NamedTuple):
@@ -144,5 +144,46 @@ def make_eval_step(cfg: Config):
         edges = (nbr.num_edges() if isinstance(nbr, Neighborhood)
                  else jnp.zeros((batch.batch_size,), jnp.int32))
         return w, loss_fn(w, gbatch), edges
+
+    return eval_step
+
+
+def make_drn_train_step(cfg: Config):
+    """Train step for the DynamicReductionNetwork family.  No radius graph
+    is built — the DRN rebuilds feature-space kNN graphs internally per
+    reduction round (reference model/dynamic_reduction_network.py:86,94)."""
+    from deepmetv2_tpu.models.drn import drn_net_apply
+
+    opt = make_optimizer(cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: EventBatch):
+        def objective(params):
+            pred, new_bn = drn_net_apply(params, state.bn_state, batch,
+                                         train=True, cfg=cfg.drn)
+            return drn_loss_fn(pred, batch), new_bn
+
+        (loss, new_bn), grads = jax.value_and_grad(objective, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_bn, new_opt, state.step + 1), loss
+
+    return train_step
+
+
+def make_drn_eval_step(cfg: Config):
+    """Eval step for the DRN: returns the cartesian MET estimate [B, 2],
+    the loss, and a zero edge count (the dynamic graphs are internal)."""
+    from deepmetv2_tpu.models.drn import drn_net_apply
+
+    @jax.jit
+    def eval_step(params, bn_state, batch: EventBatch):
+        pred, _ = drn_net_apply(params, bn_state, batch, train=False,
+                                cfg=cfg.drn)
+        v_met = drn_met_vector(pred)
+        return v_met, drn_loss_fn(pred, batch), jnp.zeros(
+            (batch.batch_size,), jnp.int32)
 
     return eval_step

@@ -203,3 +203,45 @@ class TestFit:
         lines = open(osp.join(str(tmp_path), "loss.log")).read().strip().split("\n")
         # header x2 + epoch1 + epoch2(resumed)
         assert len(lines) == 4
+
+
+class TestDRNTraining:
+    """The DRN family trains end-to-end through the same driver
+    (reference kept its DRN Net commented out, model/net.py:12-37; here it
+    is a first-class --model choice)."""
+
+    def test_drn_loss_and_grad(self, loaders):
+        from deepmetv2_tpu.models.drn import drn_init
+        from deepmetv2_tpu.train.loss import drn_loss_fn, drn_met_vector
+        from deepmetv2_tpu.models.drn import drn_net_apply
+
+        cfg = _small_cfg()
+        params, bn = drn_init(jax.random.PRNGKey(0), cfg.drn)
+        batch = next(iter(loaders["train"]))
+
+        def obj(p):
+            pred, _ = drn_net_apply(p, bn, batch, train=True, cfg=cfg.drn)
+            return drn_loss_fn(pred, batch)
+
+        loss, grads = jax.value_and_grad(obj)(params)
+        assert np.isfinite(float(loss))
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        assert any(float(np.abs(np.asarray(l)).max()) > 0 for l in leaves)
+
+        pred, _ = drn_net_apply(params, bn, batch, train=False, cfg=cfg.drn)
+        v = drn_met_vector(pred)
+        met = np.hypot(np.asarray(v)[:, 0], np.asarray(v)[:, 1])
+        assert np.all(met >= 0)
+
+    def test_drn_fit_driver(self, tmp_path, loaders):
+        from deepmetv2_tpu.models.drn import drn_init
+
+        cfg = _small_cfg()
+        state = init_train_state(*drn_init(jax.random.PRNGKey(1), cfg.drn), cfg)
+        fit(state, cfg, loaders["train"], loaders["test"], str(tmp_path),
+            epochs=1, verbose=False, model="drn")
+        for f in ["last.ckpt", "best.resolutions", "loss.log"]:
+            assert osp.exists(osp.join(str(tmp_path), f)), f
+        res = artifacts.load(osp.join(str(tmp_path), "best.resolutions"))
+        assert "MET" in res
