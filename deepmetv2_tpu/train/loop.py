@@ -108,8 +108,17 @@ def fit(
 ) -> TrainState:
     """Full training driver (reference train.py:62-145).  ``model``
     selects the family: 'graphmet' (flagship weight regressor) or 'drn'
-    (DynamicReductionNetwork direct MET head)."""
-    os.makedirs(ckpt_dir, exist_ok=True)
+    (DynamicReductionNetwork direct MET head).
+
+    Multi-host safe: on a multi-process cluster every process computes,
+    but only process 0 writes checkpoints/logs/artifacts (parameters are
+    replicated, so its state is the global state)."""
+    import jax
+
+    primary = jax.process_index() == 0
+    verbose = verbose and primary
+    if primary:
+        os.makedirs(ckpt_dir, exist_ok=True)
     if model == "drn":
         from deepmetv2_tpu.train.step import (make_drn_eval_step,
                                               make_drn_train_step)
@@ -139,8 +148,9 @@ def fit(
             with open(best_json) as f:
                 best_validation_loss = json.load(f)["loss"]
 
-    loss_log = open(osp.join(ckpt_dir, "loss.log"),
-                    "a" if restore_file else "w")
+    loss_log = (open(osp.join(ckpt_dir, "loss.log"),
+                     "a" if restore_file else "w")
+                if primary else open(os.devnull, "w"))
     if not restore_file:
         loss_log.write("# loss log for training starting at "
                        + time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()) + "\n")
@@ -158,8 +168,9 @@ def fit(
         new_lr = scheduler.step(train_loss)        # reference train.py:58
         state = set_learning_rate(state, new_lr)
 
-        save_checkpoint(state, scheduler, epoch, is_best=False,
-                        checkpoint_dir=ckpt_dir)
+        if primary:
+            save_checkpoint(state, scheduler, epoch, is_best=False,
+                            checkpoint_dir=ckpt_dir)
 
         test_metrics, resolutions = evaluate(
             state.params, state.bn_state, eval_step, val_loader, cfg,
@@ -172,15 +183,18 @@ def fit(
             if verbose:
                 print("Found new best loss!")
             best_validation_loss = validation_loss
-            save_checkpoint(state, scheduler, epoch, is_best=True,
-                            checkpoint_dir=ckpt_dir)
-            artifacts.save_dict_to_json(
-                test_metrics, osp.join(ckpt_dir, "metrics_val_best.json"))
-            artifacts.save(resolutions, osp.join(ckpt_dir, "best.resolutions"))
+            if primary:
+                save_checkpoint(state, scheduler, epoch, is_best=True,
+                                checkpoint_dir=ckpt_dir)
+                artifacts.save_dict_to_json(
+                    test_metrics, osp.join(ckpt_dir, "metrics_val_best.json"))
+                artifacts.save(resolutions,
+                               osp.join(ckpt_dir, "best.resolutions"))
 
-        artifacts.save_dict_to_json(
-            test_metrics, osp.join(ckpt_dir, "metrics_val_last.json"))
-        artifacts.save(resolutions, osp.join(ckpt_dir, "last.resolutions"))
+        if primary:
+            artifacts.save_dict_to_json(
+                test_metrics, osp.join(ckpt_dir, "metrics_val_last.json"))
+            artifacts.save(resolutions, osp.join(ckpt_dir, "last.resolutions"))
 
     loss_log.close()
     return state
