@@ -50,7 +50,10 @@ def train_one_epoch(state, train_step, loader: PaddedLoader, epoch: int,
             r = timer.rates()
             print(f"  epoch {epoch} step {i+1}/{len(loader)} "
                   f"loss {avg():.3f} ({r['steps_per_s']:.2f} it/s)")
-    mean_loss = (float(np.mean([float(l) for l in losses]))
+    import jax.numpy as jnp
+    # one stacked transfer — per-scalar float() fetches are latency-bound
+    # through remote-device links (hundreds of round-trips per epoch)
+    mean_loss = (float(jnp.mean(jnp.stack(losses)))
                  if losses else float("inf"))
     if verbose:
         print(f"Training epoch: {epoch:02d}, MSE: {mean_loss:.4f}")
@@ -69,7 +72,7 @@ def evaluate(params, bn_state, eval_step, loader: PaddedLoader,
     resolutions_arr: Dict[str, list] = {}
     for batch in loader:
         w, loss, _ = eval_step(params, bn_state, batch)
-        losses.append(float(loss))
+        losses.append(loss)           # device scalar; stacked at the end
         if model == "drn":
             res, qt = metrics_mod.resolution_from_met(w, batch)
         else:
@@ -88,7 +91,9 @@ def evaluate(params, bn_state, eval_step, loader: PaddedLoader,
         bin_width=cfg.train.qt_bin_width,
         hist_bins=cfg.train.qt_hist_bins,
     )
-    metrics_mean = {"loss": float(np.mean(losses)) if losses else float("inf")}
+    import jax.numpy as jnp
+    metrics_mean = {"loss": float(jnp.mean(jnp.stack(losses)))
+                    if losses else float("inf")}
     if verbose:
         print("- Eval metrics : " +
               " ; ".join(f"{k}: {v:05.3f}" for k, v in metrics_mean.items()))

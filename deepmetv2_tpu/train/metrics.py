@@ -8,8 +8,10 @@ numpy on accumulated arrays, exactly as the reference does.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,8 +47,34 @@ def resolution(
     """Per-event [u_perp, u_par, response] for the weight-model MET and
     each baseline MET present in y, plus the event qT
     (reference model/net.py:92-157).  Returns numpy host arrays."""
+    return resolution_from_met(_neg_weighted_met(weights, batch), batch)
+
+
+@jax.jit
+def _neg_weighted_met(weights, batch):
     metx, mety = weighted_met(weights, batch)
-    return resolution_from_met(-jnp.stack([metx, mety], axis=1), batch)
+    return -jnp.stack([metx, mety], axis=1)
+
+
+def _baseline_keys(has_deepmet: bool):
+    return [n for n in _BASELINES
+            if has_deepmet or not n.startswith("deepMET")]
+
+
+@functools.partial(jax.jit, static_argnames=("has_deepmet",))
+def _decompose_all(v_met: jnp.ndarray, y: jnp.ndarray, has_deepmet: bool):
+    """[1 + n_baselines, 3, B] stack of (u_perp, u_par, response) plus qT —
+    a single device array, so the host fetches ONE buffer per batch (the
+    per-quantity transfers were latency-bound through remote-device links).
+    """
+    v_qt = jnp.stack([y[:, 0], y[:, 1]], axis=1)
+    rows = [jnp.stack(_decompose(v_met, v_qt), axis=0)]
+    for name in _baseline_keys(has_deepmet):
+        cx, cy = _BASELINES[name]
+        vb = jnp.stack([y[:, cx], y[:, cy]], axis=1)
+        rows.append(jnp.stack(_decompose(vb, v_qt), axis=0))
+    qt = jnp.sqrt(y[:, 0] ** 2 + y[:, 1] ** 2)
+    return jnp.stack(rows, axis=0), qt
 
 
 def resolution_from_met(
@@ -55,26 +83,18 @@ def resolution_from_met(
     """Same summary from a direct cartesian MET estimate [B, 2] (the DRN
     head, or any external estimator)."""
     y = batch.y
-    v_qt = jnp.stack([y[:, 0], y[:, 1]], axis=1)
+    has_deepmet = bool(y.shape[1] > 6)
+    arr, qt = _decompose_all(v_met, y, has_deepmet)
+    arr = np.asarray(arr)                  # one transfer
+    qt = np.asarray(qt)
+    ev = np.asarray(batch.num_valid) > 0   # skip batch-padding empty events
 
-    ev = np.asarray(batch.num_valid) > 0  # skip batch-padding empty events
-
-    out: Dict[str, List[np.ndarray]] = {}
-    u_perp, u_par, resp = _decompose(v_met, v_qt)
-    out["MET"] = [np.asarray(u_perp)[ev], np.asarray(u_par)[ev],
-                  np.asarray(resp)[ev]]
-
-    has_deepmet = y.shape[1] > 6
-    for name, (cx, cy) in _BASELINES.items():
-        if name.startswith("deepMET") and not has_deepmet:
-            continue
-        vb = jnp.stack([y[:, cx], y[:, cy]], axis=1)
-        u_perp, u_par, resp = _decompose(vb, v_qt)
-        out[name] = [np.asarray(u_perp)[ev], np.asarray(u_par)[ev],
-                     np.asarray(resp)[ev]]
-
-    qt = np.asarray(jnp.sqrt(y[:, 0] ** 2 + y[:, 1] ** 2))[ev]
-    return out, qt
+    keys = ["MET"] + _baseline_keys(has_deepmet)
+    out: Dict[str, List[np.ndarray]] = {
+        key: [arr[k, 0][ev], arr[k, 1][ev], arr[k, 2][ev]]
+        for k, key in enumerate(keys)
+    }
+    return out, qt[ev]
 
 
 def resolution_histograms(
