@@ -68,22 +68,23 @@ def evaluate(params, bn_state, eval_step, loader: PaddedLoader,
     first output is interpreted: per-candidate weights ('graphmet') or a
     direct cartesian MET estimate ('drn')."""
     losses = []
-    qt_arr = np.zeros((0,))
-    resolutions_arr: Dict[str, list] = {}
+    arrs, qts, evs = [], [], []
+    has_deepmet = False
     for batch in loader:
         w, loss, _ = eval_step(params, bn_state, batch)
         losses.append(loss)           # device scalar; stacked at the end
-        if model == "drn":
-            res, qt = metrics_mod.resolution_from_met(w, batch)
-        else:
-            res, qt = metrics_mod.resolution(w, batch)
-        for key, arrs in res.items():
-            if key not in resolutions_arr:
-                resolutions_arr[key] = [np.zeros((0,)) for _ in range(3)]
-            for i in range(3):
-                resolutions_arr[key][i] = np.concatenate(
-                    [resolutions_arr[key][i], arrs[i]])
-        qt_arr = np.concatenate([qt_arr, qt])
+        has_deepmet = bool(batch.y.shape[1] > 6)
+        v_met = (w if model == "drn"
+                 else metrics_mod._neg_weighted_met(w, batch))
+        arr, qt = metrics_mod._decompose_all(v_met, batch.y, has_deepmet)
+        arrs.append(arr)              # device arrays — no host sync here
+        qts.append(qt)
+        evs.append(batch.num_valid)
+    if arrs:
+        resolutions_arr, qt_arr = metrics_mod.finalize_resolutions(
+            arrs, qts, evs, has_deepmet)
+    else:
+        resolutions_arr, qt_arr = {}, np.zeros((0,))
 
     hists = metrics_mod.resolution_histograms(
         resolutions_arr, qt_arr,

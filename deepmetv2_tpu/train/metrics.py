@@ -82,13 +82,21 @@ def resolution_from_met(
 ) -> Tuple[Dict[str, List[np.ndarray]], np.ndarray]:
     """Same summary from a direct cartesian MET estimate [B, 2] (the DRN
     head, or any external estimator)."""
-    y = batch.y
-    has_deepmet = bool(y.shape[1] > 6)
-    arr, qt = _decompose_all(v_met, y, has_deepmet)
-    arr = np.asarray(arr)                  # one transfer
-    qt = np.asarray(qt)
-    ev = np.asarray(batch.num_valid) > 0   # skip batch-padding empty events
+    has_deepmet = bool(batch.y.shape[1] > 6)
+    arr, qt = _decompose_all(v_met, batch.y, has_deepmet)
+    return finalize_resolutions([arr], [qt], [batch.num_valid], has_deepmet)
 
+
+def finalize_resolutions(arrs, qts, num_valids, has_deepmet: bool
+                         ) -> Tuple[Dict[str, List[np.ndarray]], np.ndarray]:
+    """Concatenate per-batch device stacks from :func:`_decompose_all` and
+    fetch them in ONE device→host transfer (evaluation loops accumulate
+    device arrays batch-by-batch with no host sync, then finalize once —
+    per-batch fetches are round-trip-bound on remote-device links)."""
+    arr = np.asarray(jnp.concatenate(arrs, axis=2))   # [K, 3, ΣB]
+    qt = np.asarray(jnp.concatenate(qts))
+    # skip batch-padding empty events
+    ev = np.asarray(jnp.concatenate([jnp.asarray(v) for v in num_valids])) > 0
     keys = ["MET"] + _baseline_keys(has_deepmet)
     out: Dict[str, List[np.ndarray]] = {
         key: [arr[k, 0][ev], arr[k, 1][ev], arr[k, 2][ev]]
