@@ -93,7 +93,11 @@ class TrainConfig:
     qt_max: float = 400.0                # evaluate.py:111-112
     qt_bin_width: float = 10.0
     qt_hist_bins: int = 40
-    dtype: str = "float32"               # parity default; 'bfloat16' for speed
+    # Compute dtype. float32 throughout: the hot kernel is VPU-bound and
+    # v5e VPU has no bf16 throughput advantage (measured: bf16 values were
+    # ~5 % SLOWER due to conversions), while the MXU GEMMs here are <2 %
+    # of step time — so bf16 would cost precision for nothing.
+    dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -4,7 +4,7 @@
 Differences from the reference, by design:
 
 * no per-event ``.pt`` files — events are ingested once into an in-memory
-  (optionally mmap-cached) list of numpy arrays;
+  list of arrays (collated batches are memoized after the first epoch);
 * batches are padded ``EventBatch`` pytrees (see batching.py) instead of
   concatenated ragged graphs;
 * two batching modes:
