@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "semantics, train.py:48)")
     p.add_argument("--from_torch", default=None,
                    help="warm-start from a reference .pth.tar checkpoint")
+    p.add_argument("--mesh", default=None, metavar="DxN",
+                   help="multi-chip training over a device mesh: 'D' = "
+                        "data-parallel over D chips, 'DxN' = data x node "
+                        "(edge-partitioned window mode with halo "
+                        "exchange), e.g. --mesh 4 or --mesh 2x4. "
+                        "batch_size must divide by D; node buckets by N")
     return p
 
 
@@ -116,9 +122,25 @@ def main(argv=None) -> int:
                                           cfg.model)
     state = init_train_state(params, bn_state, cfg)
 
+    mesh, shard_nodes = None, False
+    if args.mesh:
+        from deepmetv2_tpu.parallel.mesh import make_mesh
+        parts = args.mesh.lower().split("x")
+        n_data = int(parts[0])
+        n_node = int(parts[1]) if len(parts) > 1 else 1
+        assert cfg.data.batch_size % n_data == 0, (
+            f"batch_size {cfg.data.batch_size} not divisible by data "
+            f"axis {n_data}")
+        mesh = make_mesh(n_data=n_data, n_node=n_node)
+        shard_nodes = n_node > 1
+        print(f"mesh: {n_data} data x {n_node} node over "
+              f"{len(jax.devices())} devices"
+              + (" (edge-partitioned)" if shard_nodes else ""))
+
     ckpt_dir = osp.join(os.environ.get("PWD", "."), args.ckpts)
     fit(state, cfg, loaders["train"], loaders["test"], ckpt_dir,
-        restore_file=args.restore_file, model=args.model)
+        restore_file=args.restore_file, model=args.model,
+        mesh=mesh, shard_nodes=shard_nodes)
     return 0
 
 

@@ -111,21 +111,46 @@ def fit(
     epochs: Optional[int] = None,
     verbose: bool = True,
     model: str = "graphmet",
+    mesh=None,
+    shard_nodes: bool = False,
 ) -> TrainState:
     """Full training driver (reference train.py:62-145).  ``model``
     selects the family: 'graphmet' (flagship weight regressor) or 'drn'
     (DynamicReductionNetwork direct MET head).
 
+    ``mesh`` (a ``jax.sharding.Mesh`` from parallel.mesh.make_mesh) trains
+    multi-chip: data-parallel over the ``data`` axis, and with
+    ``shard_nodes=True`` edge-partitioned over the ``node`` axis (window
+    mode, halo exchange).  Evaluation stays on the default device
+    (parameters are replicated, so any device's copy is the global state).
+
     Multi-host safe: on a multi-process cluster every process computes,
-    but only process 0 writes checkpoints/logs/artifacts (parameters are
-    replicated, so its state is the global state)."""
+    but only process 0 writes checkpoints/logs/artifacts."""
     import jax
 
     primary = jax.process_index() == 0
     verbose = verbose and primary
     if primary:
         os.makedirs(ckpt_dir, exist_ok=True)
-    if model == "drn":
+    if mesh is not None:
+        if model == "drn":
+            raise NotImplementedError(
+                "mesh training is wired for the flagship model; train the "
+                "DRN single-device (6.8k params) or via parallel.dp "
+                "directly")
+        from deepmetv2_tpu.parallel.dp import make_dp_train_step
+        from deepmetv2_tpu.parallel.ep import make_ep_train_step
+        from deepmetv2_tpu.parallel.mesh import shard_batch
+        raw_step = (make_ep_train_step(cfg, mesh) if shard_nodes
+                    else make_dp_train_step(cfg, mesh))
+
+        def train_step(state, batch):
+            with mesh:
+                return raw_step(state,
+                                shard_batch(batch, mesh, shard_nodes))
+
+        eval_step = make_eval_step(cfg)
+    elif model == "drn":
         from deepmetv2_tpu.train.step import (make_drn_eval_step,
                                               make_drn_train_step)
         train_step = make_drn_train_step(cfg)

@@ -96,3 +96,51 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestFitWithMesh:
+    """fit() drives multi-chip training directly (cli --mesh): dp and
+    edge-partitioned configurations on the virtual 8-device mesh."""
+
+    def test_fit_dp_mesh(self, tmp_path):
+        import dataclasses
+        import os.path as osp
+
+        from deepmetv2_tpu.config import Config, DataConfig, GraphConfig
+        from deepmetv2_tpu.data import fetch_dataloader, synthetic_events
+        from deepmetv2_tpu.models import graph_met_init
+        from deepmetv2_tpu.parallel.mesh import make_mesh
+        from deepmetv2_tpu.train.loop import fit
+        from deepmetv2_tpu.train.step import init_train_state
+
+        events = synthetic_events(16, seed=3, n_min=20, n_max=100)
+        loaders = fetch_dataloader(events=events, batch_size=4,
+                                   validation_split=0.25, buckets=(128,))
+        cfg = Config(graph=GraphConfig(max_neighbors=32),
+                     data=DataConfig(batch_size=4, node_buckets=(128,)))
+        mesh = make_mesh(n_data=4, n_node=1)
+        state = init_train_state(*graph_met_init(jax.random.PRNGKey(0)), cfg)
+        fit(state, cfg, loaders["train"], loaders["test"], str(tmp_path),
+            epochs=1, verbose=False, mesh=mesh)
+        assert osp.exists(osp.join(str(tmp_path), "last.ckpt"))
+
+    def test_fit_ep_mesh(self, tmp_path):
+        import os.path as osp
+
+        from deepmetv2_tpu.config import Config, DataConfig, GraphConfig
+        from deepmetv2_tpu.data import fetch_dataloader, synthetic_events
+        from deepmetv2_tpu.models import graph_met_init
+        from deepmetv2_tpu.parallel.mesh import make_mesh
+        from deepmetv2_tpu.train.loop import fit
+        from deepmetv2_tpu.train.step import init_train_state
+
+        events = synthetic_events(8, seed=4, n_min=150, n_max=255)
+        loaders = fetch_dataloader(events=events, batch_size=2,
+                                   validation_split=0.25, buckets=(256,))
+        cfg = Config(graph=GraphConfig(mode="window", window_halo=64),
+                     data=DataConfig(batch_size=2, node_buckets=(256,)))
+        mesh = make_mesh(n_data=2, n_node=2)
+        state = init_train_state(*graph_met_init(jax.random.PRNGKey(1)), cfg)
+        fit(state, cfg, loaders["train"], loaders["test"], str(tmp_path),
+            epochs=1, verbose=False, mesh=mesh, shard_nodes=True)
+        assert osp.exists(osp.join(str(tmp_path), "last.ckpt"))
