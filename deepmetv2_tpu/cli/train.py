@@ -115,8 +115,24 @@ def main(argv=None) -> int:
         from deepmetv2_tpu.compat import import_torch_checkpoint
         params, bn_state, _ = import_torch_checkpoint(args.from_torch)
     elif args.model == "drn":
+        import numpy as np
         from deepmetv2_tpu.models.drn import drn_init
-        params, bn_state = drn_init(jax.random.PRNGKey(args.seed), cfg.drn)
+        ds = loaders["train"].dataset
+        idx = loaders["train"].indices
+        qts = [float(np.hypot(ds[int(i)][1][0], ds[int(i)][1][1]))
+               for i in idx]
+        met_bias = float(np.mean(qts)) if qts else 0.0
+        # Data-dependent datanorm: 1/std per feature over the training
+        # candidates (the reference's fixed constants are scaled for its
+        # CMS ntuples; the right generalization is the dataset's own
+        # scale — same spirit as the reference's hand-tuned list).
+        feats = np.concatenate([ds[int(i)][0] for i in idx], axis=0)
+        std = feats.std(axis=0)
+        norm = tuple(1.0 / np.where(std > 1e-6, std, 1.0))
+        print(f"drn: output bias init to mean |genMET| = {met_bias:.1f}; "
+              f"datanorm from training-set feature stds")
+        params, bn_state = drn_init(jax.random.PRNGKey(args.seed), cfg.drn,
+                                    norm=norm, met_bias=met_bias)
     else:
         params, bn_state = graph_met_init(jax.random.PRNGKey(args.seed),
                                           cfg.model)

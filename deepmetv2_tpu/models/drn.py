@@ -50,16 +50,33 @@ from deepmetv2_tpu.ops.segment import gather_neighbors
 Params = Dict[str, Any]
 State = Dict[str, Any]
 
-# Default datanorm (reference model/net.py:20-31, the commented DRN Net).
+# Default datanorm constants from the commented DRN Net (reference
+# model/net.py:20-31), REORDERED to match the actual feature order of the
+# data pipeline [px,py,pt,eta,d0,dz,mass,puppiWeight,pdgId,charge,fromPV]
+# (reference model/data_loader.py:72).  The reference's own list is in a
+# different order than its data (it would scale puppiWeight by 1/211 and
+# fromPV by 1 — one more inconsistency in that dormant code path); here
+# each constant is matched to its named feature.
 DEFAULT_NORM = (
     1.0 / 2950.0, 1.0 / 2950.0, 1.0 / 2950.0, 1.0 / 5.265625,
-    1.0 / 143.875, 1.0 / 589.0, 1.0 / 1.2050781, 1.0 / 211.0,
-    1.0, 1.0 / 7.0, 1.0,
+    1.0 / 143.875, 1.0 / 589.0, 1.0 / 1.2050781,
+    1.0,           # puppiWeight
+    1.0 / 211.0,   # pdgId
+    1.0,           # charge
+    1.0 / 7.0,     # fromPV
 )
 
 
 def drn_init(key: jax.Array, cfg: DRNConfig = DRNConfig(),
-             norm=None, dtype=jnp.float32) -> Tuple[Params, State]:
+             norm=None, dtype=jnp.float32,
+             met_bias: float = 0.0) -> Tuple[Params, State]:
+    """``met_bias`` > 0 initializes the output layer's MET logit bias to
+    softplus⁻¹(met_bias) — set it to the training set's mean |genMET| so
+    the softplus head starts on the right scale.  Raw MET magnitudes are
+    O(10²) GeV while AdamW moves parameters ~lr per step, so a zero-init
+    head needs tens of thousands of steps just to climb into range (the
+    reference's commented head has the same conditioning problem,
+    model/net.py:33)."""
     H = cfg.hidden_dim
     keys = jax.random.split(key, 2 + cfg.pool_rounds)
     if norm is None:
@@ -70,6 +87,12 @@ def drn_init(key: jax.Array, cfg: DRNConfig = DRNConfig(),
         "output": mlp_init(keys[1], (H, H, H // 2, cfg.output_dim), dtype),
         "convs": [],
     }
+    if met_bias > 0:
+        # softplus⁻¹(m) = m + log1p(−exp(−m))
+        inv = met_bias + float(jnp.log1p(-jnp.exp(-jnp.asarray(met_bias))))
+        last = sorted(params["output"].keys())[-1]
+        b = params["output"][last]["b"]
+        params["output"][last]["b"] = b.at[0].set(inv)
     state: State = {"convs": []}
     for r in range(cfg.pool_rounds):
         conv = {"mlp": mlp_init(keys[2 + r], (2 * H, 3 * H // 2, H), dtype)}
