@@ -15,10 +15,7 @@ import os.path as osp
 
 from deepmetv2_tpu.config import Config
 from deepmetv2_tpu.data import fetch_dataloader, synthetic_events
-from deepmetv2_tpu.models import graph_met_init
 from deepmetv2_tpu.train.loop import evaluate
-from deepmetv2_tpu.train.step import init_train_state, make_eval_step
-from deepmetv2_tpu.train.checkpoint import load_checkpoint
 from deepmetv2_tpu.utils import artifacts
 
 
@@ -61,27 +58,8 @@ def main(argv=None) -> int:
     cfg = apply_graph_mode(cfg, args, loaders["test"].dataset)
 
     ckpt_dir = osp.join(os.environ.get("PWD", "."), args.ckpts)
-    if args.from_torch:
-        from deepmetv2_tpu.compat import import_torch_checkpoint
-        import jax
-        params, bn_state, _ = import_torch_checkpoint(args.from_torch)
-    else:
-        import jax
-        if args.model == "drn":
-            from deepmetv2_tpu.models.drn import drn_init
-            init = drn_init(jax.random.PRNGKey(0), cfg.drn)
-        else:
-            init = graph_met_init(jax.random.PRNGKey(0), cfg.model)
-        template = init_train_state(*init, cfg)
-        state, _ = load_checkpoint(
-            osp.join(ckpt_dir, args.restore_file + ".ckpt"), template=template)
-        params, bn_state = state.params, state.bn_state
-
-    if args.model == "drn":
-        from deepmetv2_tpu.train.step import make_drn_eval_step
-        eval_step = make_drn_eval_step(cfg)
-    else:
-        eval_step = make_eval_step(cfg)
+    from deepmetv2_tpu.cli.common import load_model_for_eval
+    params, bn_state, eval_step = load_model_for_eval(args, cfg, ckpt_dir)
     test_metrics, resolutions = evaluate(params, bn_state, eval_step,
                                          loaders["test"], cfg,
                                          model=args.model)

@@ -22,9 +22,6 @@ import numpy as np
 
 from deepmetv2_tpu.config import Config
 from deepmetv2_tpu.data import fetch_dataloader, synthetic_events
-from deepmetv2_tpu.models import graph_met_init
-from deepmetv2_tpu.train.checkpoint import load_checkpoint
-from deepmetv2_tpu.train.step import init_train_state, make_eval_step
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -63,32 +60,15 @@ def main(argv=None) -> int:
                                    batch_size=args.batch_size,
                                    validation_split=0.0,
                                    buckets=cfg.data.node_buckets)
-    loader = loaders["train"]  # split 0.0 → all events, original order
+    loader = loaders["train"]  # split 0.0 → all events (in seeded
+    #                            permutation order; un-permuted on output)
 
     from deepmetv2_tpu.cli.train import apply_graph_mode
     cfg = apply_graph_mode(cfg, args, loader.dataset)
 
     ckpt_dir = osp.join(os.environ.get("PWD", "."), args.ckpts)
-    if args.from_torch:
-        from deepmetv2_tpu.compat import import_torch_checkpoint
-        params, bn_state, _ = import_torch_checkpoint(args.from_torch)
-    else:
-        if args.model == "drn":
-            from deepmetv2_tpu.models.drn import drn_init
-            init = drn_init(jax.random.PRNGKey(0), cfg.drn)
-        else:
-            init = graph_met_init(jax.random.PRNGKey(0), cfg.model)
-        template = init_train_state(*init, cfg)
-        state, _ = load_checkpoint(
-            osp.join(ckpt_dir, args.restore_file + ".ckpt"),
-            template=template)
-        params, bn_state = state.params, state.bn_state
-
-    if args.model == "drn":
-        from deepmetv2_tpu.train.step import make_drn_eval_step
-        eval_step = make_drn_eval_step(cfg)
-    else:
-        eval_step = make_eval_step(cfg)
+    from deepmetv2_tpu.cli.common import load_model_for_eval
+    params, bn_state, eval_step = load_model_for_eval(args, cfg, ckpt_dir)
 
     from deepmetv2_tpu.train.metrics import _neg_weighted_met
 
@@ -105,22 +85,25 @@ def main(argv=None) -> int:
     met = np.asarray(jnp.concatenate(mets, axis=0))
     nv = np.asarray(jnp.concatenate([jnp.asarray(v) for v in nvalids]))
     # Batch padding (empty events, num_valid == 0) is appended at the END
-    # of each batch by collate, so the first len(batch_idx) rows per batch
-    # are the real events, in plan order.
+    # of each batch by collate, so the first len(batch_idx) rows of each
+    # batch_size-row block are the real events, in plan order.
     real = np.zeros(len(nv), dtype=bool)
     row = 0
     for batch_idx in loader._batches:
         real[row: row + len(batch_idx)] = True
-        row += max(len(batch_idx), loader.batch_size)
+        row += loader.batch_size
     idx = np.concatenate(list(loader._batches))
-    met = met[real]
+    # The loader iterates in (seeded) permutation order; un-permute so row
+    # i of every output array is event i of the input dataset.
+    order = np.argsort(idx)
+    met = met[real][order]
     arrays = {
-        "event_index": idx,     # position in the input dataset
+        "event_index": idx[order],   # == arange: row i is input event i
         "met_x": met[:, 0],
         "met_y": met[:, 1],
         "met": np.hypot(met[:, 0], met[:, 1]),
         "met_phi": np.arctan2(met[:, 1], met[:, 0]),
-        "n_valid": nv[real],
+        "n_valid": nv[real][order],
     }
     if weights:
         n_max = max(w.shape[1] for w in weights)
@@ -129,7 +112,7 @@ def main(argv=None) -> int:
         for w in weights:
             wpad[row:row + w.shape[0], : w.shape[1]] = w
             row += w.shape[0]
-        arrays["weights"] = wpad[real]
+        arrays["weights"] = wpad[real][order]
 
     np.savez_compressed(args.out, **arrays)
     print(f"wrote {args.out}: {int(real.sum())} events"

@@ -126,8 +126,16 @@ def main(argv=None) -> int:
         # candidates (the reference's fixed constants are scaled for its
         # CMS ntuples; the right generalization is the dataset's own
         # scale — same spirit as the reference's hand-tuned list).
-        feats = np.concatenate([ds[int(i)][0] for i in idx], axis=0)
-        std = feats.std(axis=0)
+        # Single streaming pass: O(n_features) memory, no copy of the set.
+        n_feat = ds[int(idx[0])][0].shape[1]
+        cnt, s1, s2 = 0, np.zeros(n_feat), np.zeros(n_feat)
+        for i in idx:
+            x = ds[int(i)][0]
+            cnt += x.shape[0]
+            s1 += x.sum(axis=0)
+            s2 += (x.astype(np.float64) ** 2).sum(axis=0)
+        var = np.maximum(s2 / cnt - (s1 / cnt) ** 2, 0.0)
+        std = np.sqrt(var)
         norm = tuple(1.0 / np.where(std > 1e-6, std, 1.0))
         print(f"drn: output bias init to mean |genMET| = {met_bias:.1f}; "
               f"datanorm from training-set feature stds")
@@ -144,9 +152,13 @@ def main(argv=None) -> int:
         parts = args.mesh.lower().split("x")
         n_data = int(parts[0])
         n_node = int(parts[1]) if len(parts) > 1 else 1
-        assert cfg.data.batch_size % n_data == 0, (
-            f"batch_size {cfg.data.batch_size} not divisible by data "
-            f"axis {n_data}")
+        if cfg.data.batch_size % n_data != 0:
+            raise SystemExit(f"--mesh: batch_size {cfg.data.batch_size} "
+                             f"not divisible by data axis {n_data}")
+        bad = [b for b in cfg.data.node_buckets if b % n_node != 0]
+        if bad:
+            raise SystemExit(f"--mesh: node buckets {bad} not divisible "
+                             f"by node axis {n_node}")
         mesh = make_mesh(n_data=n_data, n_node=n_node)
         shard_nodes = n_node > 1
         print(f"mesh: {n_data} data x {n_node} node over "

@@ -265,9 +265,16 @@ def _bounds_or_static(pos, halo_pad, extra, w_win, tile, r2, pack, Bp,
             jnp.full((Bp, n_tiles), n_chunks, jnp.int32))
 
 
+def _pick_tile(tile: int, N: int) -> int:
+    """Largest valid query tile: N must divide into whole tiles; fall back
+    to a single tile for node counts not divisible by the default."""
+    tile = min(tile, N)
+    return tile if N % tile == 0 else N
+
+
 def _window_max_impl(c, pos, r2, halo, tile, interpret):
     B, N, H = c.shape
-    tile = min(tile, N)
+    tile = _pick_tile(tile, N)
     halo_pad, w_win, extra = _grid_params(N, halo, tile)
     pack = _pack_factor(H)
     cpad, eta_pad, phi_pad, qe, qp = _prepare(c, pos, halo_pad, extra, pack)
@@ -312,7 +319,7 @@ def _window_max_fwd(c, pos, r2, halo, tile, interpret):
 def _window_max_bwd(r2, halo, tile, interpret, res, g):
     c, pos, m = res
     B, N, H = c.shape
-    tile_ = min(tile, N)
+    tile_ = _pick_tile(tile, N)
     halo_pad, w_win, extra = _grid_params(N, halo, tile_)
     pack = _pack_factor(H)
     # m of padded/empty rows is -inf; grads there are irrelevant but must

@@ -26,6 +26,30 @@ from deepmetv2_tpu.data.batching import EventBatch
 from deepmetv2_tpu.parallel.mesh import batch_sharding
 
 
+def force_cpu_devices(n: int) -> None:
+    """Force the CPU backend with ``n`` virtual devices.  Must run before
+    the first JAX computation.  Raises if XLA_FLAGS already pins a
+    DIFFERENT virtual-device count (silently running on the wrong mesh
+    size is worse than failing)."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    marker = "xla_force_host_platform_device_count"
+    if marker in flags:
+        import re
+
+        m = re.search(marker + r"=(\d+)", flags)
+        if m and int(m.group(1)) != n:
+            raise RuntimeError(
+                f"XLA_FLAGS already sets {marker}={m.group(1)}, "
+                f"requested {n}")
+    else:
+        os.environ["XLA_FLAGS"] = (flags + f" --{marker}={n}").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def initialize(
     coordinator: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -40,17 +64,11 @@ def initialize(
     mode (SURVEY.md §4's distributed test strategy).
     """
     if cpu_devices_per_process is not None:
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + " --xla_force_host_platform_device_count="
-                f"{cpu_devices_per_process}").strip()
+        force_cpu_devices(cpu_devices_per_process)
 
     import jax
 
     if cpu_devices_per_process is not None:
-        jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
     kwargs = {}

@@ -54,20 +54,12 @@ def parse_args():
 def main() -> int:
     args = parse_args()
     if args.force_cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags +
-                f" --xla_force_host_platform_device_count={args.devices}"
-            ).strip()
+        from deepmetv2_tpu.parallel.multihost import force_cpu_devices
+        force_cpu_devices(args.devices)
 
     import jax
     import jax.numpy as jnp
     import numpy as np
-
-    if args.force_cpu:
-        jax.config.update("jax_platforms", "cpu")
 
     from deepmetv2_tpu.config import Config, DataConfig, GraphConfig
     from deepmetv2_tpu.data import collate, synthetic_events

@@ -40,7 +40,11 @@ class TestPredictCLI:
                      "--out", out]) == 0
         z = np.load(out)
         assert len(z["met"]) == 10
-        assert set(z["event_index"]) == set(range(10))
+        # rows are un-permuted to input order
+        np.testing.assert_array_equal(z["event_index"], np.arange(10))
+        expect = synthetic_events(10, seed=42)
+        np.testing.assert_array_equal(
+            z["n_valid"], [x.shape[0] for x, _ in expect])
         np.testing.assert_allclose(
             z["met"], np.hypot(z["met_x"], z["met_y"]), rtol=1e-6)
         assert z["weights"].shape[0] == 10
