@@ -142,6 +142,12 @@ def main() -> None:
 
     t_step = time_steps(step, state, ITERS)
 
+    # Inference throughput (serving path): jitted forward + loss, no grad.
+    from deepmetv2_tpu.train.step import make_eval_step
+
+    eval_step = make_eval_step(cfg)
+    t_infer = _time(lambda: eval_step(params, bn, batch))
+
     result = {
         "metric": "edgeconv_fwd_bwd_edges_per_s",
         "value": edges / t_fast,
@@ -155,6 +161,8 @@ def main() -> None:
             "factored_nbrlist_ms": t_factored * 1e3,
             "train_step_window_ms": t_step * 1e3,
             "train_step_events_per_s": B / t_step,
+            "inference_step_ms": t_infer * 1e3,
+            "inference_events_per_s": B / t_infer,
             "device": str(jax.devices()[0]),
         },
     }
