@@ -179,6 +179,10 @@ def fit(
             with open(best_json) as f:
                 best_validation_loss = json.load(f)["loss"]
 
+    if primary:  # reproducibility: the exact resolved config of this run
+        with open(osp.join(ckpt_dir, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+
     loss_log = (open(osp.join(ckpt_dir, "loss.log"),
                      "a" if restore_file else "w")
                 if primary else open(os.devnull, "w"))
