@@ -54,3 +54,36 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, shard_nodes: bool = False):
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+
+
+def make_drn_dp_train_step(cfg: Config, mesh: Mesh):
+    """Data-parallel train step for the DRN family: events shard over the
+    ``data`` axis; the per-round feature-space kNN, coarsening, and
+    pooling are all per-event, so they shard trivially, while the edge
+    BatchNorm statistics span the global batch via GSPMD psums."""
+    from deepmetv2_tpu.models.drn import drn_net_apply
+    from deepmetv2_tpu.train.loss import drn_loss_fn
+
+    opt = make_optimizer(cfg)
+    rep = replicate(mesh)
+    bsh = batch_sharding(mesh)
+
+    def step(state: TrainState, batch: EventBatch):
+        def objective(params):
+            pred, new_bn = drn_net_apply(params, state.bn_state, batch,
+                                         train=True, cfg=cfg.drn)
+            return drn_loss_fn(pred, batch), new_bn
+
+        (loss, new_bn), grads = jax.value_and_grad(objective, has_aux=True)(
+            state.params)
+        updates, new_opt = opt.update(grads, state.opt_state, state.params)
+        import optax
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_bn, new_opt, state.step + 1), loss
+
+    return jax.jit(
+        step,
+        in_shardings=(rep, bsh),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )

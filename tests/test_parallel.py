@@ -144,3 +144,65 @@ class TestFitWithMesh:
         fit(state, cfg, loaders["train"], loaders["test"], str(tmp_path),
             epochs=1, verbose=False, mesh=mesh, shard_nodes=True)
         assert osp.exists(osp.join(str(tmp_path), "last.ckpt"))
+
+
+class TestShardedKNN:
+    """Distributed dynamic-kNN: node-sharded exact top-k equals the
+    single-device feature-space build (SURVEY §5 distributed top-k)."""
+
+    def test_matches_single_device(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from deepmetv2_tpu.ops.graph import knn_graph
+        from deepmetv2_tpu.parallel.knn import knn_graph_sharded
+        from deepmetv2_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(0)
+        B, N, D, k = 4, 64, 8, 5
+        x = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+        mask = jnp.asarray(rng.random((B, N)) < 0.9)
+
+        ref = knn_graph(x, mask, k=k)
+        mesh = make_mesh(n_data=2, n_node=4)
+        with mesh:
+            got = jax.jit(
+                lambda x, m: knn_graph_sharded(x, m, k=k, mesh=mesh)
+            )(x, mask)
+
+        np.testing.assert_array_equal(np.asarray(ref.mask),
+                                      np.asarray(got.mask))
+        # neighbor SETS must match; within-row order may differ on
+        # near-ties because the two builds round distances differently
+        ri = np.where(np.asarray(ref.mask), np.asarray(ref.idx), 1 << 20)
+        gi = np.where(np.asarray(got.mask), np.asarray(got.idx), 1 << 20)
+        np.testing.assert_array_equal(np.sort(ri, axis=-1),
+                                      np.sort(gi, axis=-1))
+
+
+class TestDRNDataParallel:
+    def test_drn_dp_step_matches_single_device(self):
+        import numpy as np
+
+        from deepmetv2_tpu.config import Config, DataConfig
+        from deepmetv2_tpu.data import collate, synthetic_events
+        from deepmetv2_tpu.models.drn import drn_init
+        from deepmetv2_tpu.parallel.dp import make_drn_dp_train_step
+        from deepmetv2_tpu.parallel.mesh import make_mesh, shard_batch
+        from deepmetv2_tpu.train.step import (init_train_state,
+                                              make_drn_train_step)
+
+        events = synthetic_events(8, seed=5, n_min=20, n_max=60)
+        batch = collate(events, buckets=(64,), pad_events_to=8)
+        cfg = Config(data=DataConfig(batch_size=8, node_buckets=(64,)))
+
+        state1 = init_train_state(*drn_init(jax.random.PRNGKey(2)), cfg)
+        _, loss1 = make_drn_train_step(cfg)(state1, batch)
+
+        mesh = make_mesh(n_data=4, n_node=1)
+        state2 = init_train_state(*drn_init(jax.random.PRNGKey(2)), cfg)
+        with mesh:
+            sb = shard_batch(batch, mesh)
+            _, loss2 = make_drn_dp_train_step(cfg, mesh)(state2, sb)
+
+        np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
