@@ -23,7 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from deepmetv2_tpu.data.batching import Neighborhood
@@ -76,6 +76,6 @@ def knn_graph_sharded(
         body, mesh=mesh,
         in_specs=(spec_x, spec_m),
         out_specs=(spec_nbr, spec_nbr),
-        check_rep=False,
+        check_vma=False,
     )(x, mask)
     return Neighborhood(idx=idx, mask=valid)
