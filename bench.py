@@ -126,6 +126,14 @@ def main() -> None:
     state = init_train_state(params, bn, cfg)
     step = make_train_step(cfg)
 
+    # Inference throughput (serving path): jitted forward + loss, no grad.
+    # MUST run before the train-step timing: train_step donates its state,
+    # whose leaves alias these params/bn buffers (donation deletes them).
+    from deepmetv2_tpu.train.step import make_eval_step
+
+    eval_step = make_eval_step(cfg)
+    t_infer = _time(lambda: eval_step(params, bn, batch))
+
     def time_steps(step, state, iters):
         s, loss = step(state, batch)          # compile + warmup
         for _ in range(2):
@@ -141,12 +149,6 @@ def main() -> None:
         return best
 
     t_step = time_steps(step, state, ITERS)
-
-    # Inference throughput (serving path): jitted forward + loss, no grad.
-    from deepmetv2_tpu.train.step import make_eval_step
-
-    eval_step = make_eval_step(cfg)
-    t_infer = _time(lambda: eval_step(params, bn, batch))
 
     result = {
         "metric": "edgeconv_fwd_bwd_edges_per_s",
