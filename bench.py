@@ -16,6 +16,18 @@ torch_cluster/PyG executes on CUDA, reference model/graph_met_network.py:38)
 implemented in XLA on the same hardware, same graph, same numerics.  The
 reference repo publishes no throughput numbers (BASELINE.md), so its own
 algorithmic structure is the baseline.
+
+Extras:
+  * ``numerics``  — real-hardware parity gate: the Pallas kernel's forward
+    and gradients vs the XLA window formulation (ops/window.py), three
+    shapes (tile-fallback N, lane-packed H=32, unpacked H=128).  The
+    headline number is only meaningful if ``numerics.ok`` is true.
+  * ``sweep``     — per-shape kernel throughput over N x H with the best
+    (tile, wchunk) choice, plus an HBM bytes-moved model per shape (the
+    kernel is VPU/HBM-bound; see docs/ARCHITECTURE.md §6 roofline note).
+  * ``train_step_*`` / ``inference_*`` — whole-pipeline numbers for the
+    flagship model (graph build + fwd [+ loss + bwd + AdamW] as one XLA
+    program; reference per-step pipeline train.py:39-54).
 """
 
 from __future__ import annotations
@@ -28,16 +40,24 @@ import jax
 import jax.numpy as jnp
 
 from deepmetv2_tpu.data import collate, synthetic_events
-from deepmetv2_tpu.data.batching import Neighborhood
 from deepmetv2_tpu.data.sorting import required_halo, sort_by_eta
 from deepmetv2_tpu.ops.edgeconv import edgeconv_linear
 from deepmetv2_tpu.ops.graph import radius_graph
 from deepmetv2_tpu.ops.segment import gather_neighbors
-from deepmetv2_tpu.ops.window import WindowGraph
+from deepmetv2_tpu.ops.window import WindowGraph, window_edgeconv_linear
 
-# Reference-scale bucketed batch: events up to ~2k candidates, dR=0.4.
+# Headline config: reference-scale bucketed batch (~2k candidates, dR=0.4).
 B, N, H, K, R = 8, 2048, 32, 256, 0.4
 WARMUP, ITERS = 5, 30
+REPEATS = 4  # take the min: the axon tunnel adds sporadic multi-ms stalls
+
+# Sweep configs (VERDICT r1 #6): N x H grid, each timed at its best
+# (tile, wchunk) out of CANDIDATES.  Sweep timing is lighter than the
+# headline (fewer iters) — it ranks shapes, it doesn't set the metric.
+SWEEP_SHAPES = [(8, 512, 32), (8, 2048, 32), (8, 8192, 32),
+                (8, 512, 64), (8, 2048, 64), (8, 8192, 64)]
+CANDIDATES = [(16, 16), (32, 32)]  # (tile, wchunk)
+SWEEP_ITERS, SWEEP_REPEATS = 10, 2
 
 
 def _naive_edgeconv(x, nbr, w, b):
@@ -53,64 +73,201 @@ def _naive_edgeconv(x, nbr, w, b):
     return jnp.where(jnp.any(nbr.mask, axis=-1, keepdims=True), out, 0.0)
 
 
-REPEATS = 4  # take the min: the axon tunnel adds sporadic multi-ms stalls
-
-
-def _time(fn, *args) -> float:
+def _time(fn, *args, iters=ITERS, repeats=REPEATS, warmup=WARMUP) -> float:
     out = fn(*args)
     jax.block_until_ready(out)
-    for _ in range(WARMUP - 1):
+    for _ in range(warmup - 1):
         out = fn(*args)
     jax.block_until_ready(out)
     best = float("inf")
-    for _ in range(REPEATS):
+    for _ in range(repeats):
         t0 = time.perf_counter()
-        for _ in range(ITERS):
+        for _ in range(iters):
             out = fn(*args)
         jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / ITERS)
+        best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
 
-def main() -> None:
-    events = synthetic_events(B, seed=0, n_min=N - 256, n_max=N - 1)
-    batch = collate(events, buckets=(N,))
+def _grad_of(fn):
+    return jax.jit(jax.value_and_grad(
+        lambda x, w: jnp.sum(fn(x, w) ** 2), argnums=(0, 1)))
+
+
+def _make_graph_inputs(b, n, h, seed):
+    """Synthetic eta-sorted batch + feature/weight tensors for kernel runs."""
+    events = synthetic_events(b, seed=seed, n_min=max(2, n - 256), n_max=n - 1)
+    batch = collate(events, buckets=(n,))
     batch, _ = sort_by_eta(batch)
     phi = jnp.arctan2(batch.x_cont[..., 1], batch.x_cont[..., 0])
     etaphi = jnp.stack([batch.x_cont[..., 3], phi], axis=-1)
     halo = required_halo(batch, R)
-
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(B, N, H)).astype(np.float32))
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(b, n, h)).astype(np.float32))
     x = jnp.where(batch.mask[..., None], x, 0.0)
-    w = jnp.asarray(rng.normal(size=(2 * H, H)).astype(np.float32) * 0.1)
-    bias = jnp.zeros((H,), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(2 * h, h)).astype(np.float32) * 0.1)
+    bias = jnp.zeros((h,), jnp.float32)
+    return batch, etaphi, halo, x, w, bias
 
+
+def _true_edges(etaphi, mask, r) -> float:
+    """Uncapped in-radius pair count (incl. self-loops) — what the window
+    kernel actually processes.  Host-side over the eta-sorted batch."""
+    etaphi, mask = np.asarray(etaphi), np.asarray(mask)
+    r2, total = float(r) ** 2, 0
+    for b in range(etaphi.shape[0]):
+        pts = etaphi[b][mask[b]]           # eta-sorted by construction
+        eta = pts[:, 0]
+        for s in range(0, len(eta), 1024):
+            q = pts[s:s + 1024]
+            lo = int(np.searchsorted(eta, q[0, 0] - r))
+            hi = int(np.searchsorted(eta, q[-1, 0] + r, side="right"))
+            d = q[:, None, :] - pts[None, lo:hi, :]
+            total += int(np.sum((d ** 2).sum(-1) < r2))
+    return float(total)
+
+
+def _kernel_bytes(b, n, h, halo, tile, wchunk) -> int:
+    """HBM bytes-moved model for the Pallas window kernel, fwd+bwd: per
+    grid step the kernel DMAs whole [w_win, 128] f32 windows (3 fwd / 4
+    bwd) plus BlockSpec tile I/O (3 fwd / 4 bwd tiles of [tile, 128]).
+    The eta-interval prune skips compute, not DMA."""
+    from deepmetv2_tpu.ops.pallas.edgeconv_window import (
+        LANE, _grid_params, _pack_factor)
+
+    pack = _pack_factor(h)
+    bp = -(-b // pack)
+    _, w_win, _ = _grid_params(n, halo, tile, wchunk)
+    steps = bp * (n // tile)
+    lanes = LANE if h <= LANE else h
+    per_step = ((3 + 4) * w_win + (3 + 4) * tile) * lanes * 4
+    return steps * per_step
+
+
+def _numerics_gate(interpret: bool) -> dict:
+    """Real-hardware parity: Pallas window EdgeConv fwd + grads vs the XLA
+    formulation, rtol/atol 1e-5, across shapes that exercise the tile
+    fallback, lane packing, and the unpacked H=128 layout (VERDICT r1 #2)."""
+    shapes = [
+        {"name": "tile_fallback", "B": 2, "N": 200, "H": 32},
+        {"name": "lane_packed", "B": 5, "N": 512, "H": 32},
+        {"name": "unpacked_h128", "B": 2, "N": 256, "H": 128},
+    ]
+    from deepmetv2_tpu.ops.pallas.edgeconv_window import (
+        window_edgeconv_linear_pallas,
+    )
+
+    checks, ok = [], True
+    for s in shapes:
+        b, n, h = s["B"], s["N"], s["H"]
+        rng = np.random.default_rng(n + h)
+        eta = np.sort(rng.uniform(-5, 5, (b, n)).astype(np.float32), axis=1)
+        phi = rng.uniform(-np.pi, np.pi, (b, n)).astype(np.float32)
+        n_valid = rng.integers(max(2, n - n // 4), n + 1, size=b)
+        mask = np.arange(n)[None, :] < n_valid[:, None]
+        # smallest exact halo for this eta draw
+        halo = 0
+        for i in range(b):
+            e = eta[i][mask[i]]
+            lo = np.searchsorted(e, e - R)
+            hi = np.searchsorted(e, e + R, side="right")
+            idx = np.arange(len(e))
+            halo = max(halo, int(np.max(idx - lo)), int(np.max(hi - 1 - idx)))
+        g = WindowGraph(jnp.asarray(np.stack([eta, phi], -1)),
+                        jnp.asarray(mask), r=R, halo=halo)
+        x = jnp.asarray(rng.normal(size=(b, n, h)).astype(np.float32))
+        x = jnp.where(g.mask[..., None], x, 0.0)
+        w = jnp.asarray(rng.normal(size=(2 * h, h)).astype(np.float32) * 0.1)
+        bias = jnp.asarray(rng.normal(size=(h,)).astype(np.float32) * 0.1)
+
+        pal = _grad_of(lambda x, w: window_edgeconv_linear_pallas(
+            x, g, w, bias, interpret=interpret))
+        xla = _grad_of(lambda x, w: window_edgeconv_linear(x, g, w, bias))
+        # full-f32 GEMMs: the default bf16 MXU passes round a, c differently
+        # between the two programs, which would mask real kernel errors
+        with jax.default_matmul_precision("highest"):
+            (vp, (dxp, dwp)) = pal(x, w)
+            (vx, (dxx, dwx)) = xla(x, w)
+
+        def err(a, c):
+            # max abs error normalized by the reference tensor's scale:
+            # element-wise relative error on near-zero entries only measures
+            # f32 accumulation-order noise, not kernel correctness
+            a, c = np.asarray(a), np.asarray(c)
+            return float(np.max(np.abs(a - c)) / (1e-6 + np.max(np.abs(c))))
+
+        errs = {"fwd": err(vp, vx), "dx": err(dxp, dxx), "dw": err(dwp, dwx)}
+        passed = all(e < 1e-4 for e in errs.values())
+        ok &= passed
+        checks.append({**s, "halo": halo, "rel_err": errs, "ok": passed})
+    return {"ok": ok, "interpret": interpret, "checks": checks}
+
+
+def _sweep(on_tpu: bool) -> list:
+    """Kernel throughput across shapes; best (tile, wchunk) per shape."""
+    if on_tpu:
+        from deepmetv2_tpu.ops.pallas.edgeconv_window import (
+            window_edgeconv_linear_pallas as kernel_fn,
+        )
+    else:
+        kernel_fn = None  # XLA path ignores tile/wchunk tuning
+
+    rows = []
+    for (b, n, h) in SWEEP_SHAPES:
+        batch, etaphi, halo, x, w, bias = _make_graph_inputs(b, n, h, seed=n + h)
+        g = WindowGraph(etaphi, batch.mask, r=R, halo=halo)
+        edges = _true_edges(etaphi, batch.mask, R)
+        best = None
+        if on_tpu:
+            for (tile, wchunk) in CANDIDATES:
+                fn = _grad_of(lambda x, w, t=tile, wc=wchunk:
+                              kernel_fn(x, g, w, bias, tile=t, wchunk=wc))
+                t = _time(fn, x, w, iters=SWEEP_ITERS,
+                          repeats=SWEEP_REPEATS, warmup=3)
+                if best is None or t < best["ms"] * 1e-3:
+                    gbytes = _kernel_bytes(b, n, h, halo, tile, wchunk)
+                    best = {"tile": tile, "wchunk": wchunk, "ms": t * 1e3,
+                            "model_GB": gbytes / 1e9,
+                            "model_GBps": gbytes / t / 1e9}
+        else:
+            fn = _grad_of(lambda x, w: window_edgeconv_linear(x, g, w, bias))
+            t = _time(fn, x, w, iters=SWEEP_ITERS, repeats=SWEEP_REPEATS,
+                      warmup=3)
+            best = {"tile": None, "wchunk": None, "ms": t * 1e3}
+        rows.append({"B": b, "N": n, "H": h, "halo": halo,
+                     "true_edges": edges,
+                     "edges_per_s": edges / (best["ms"] * 1e-3), **best})
+    return rows
+
+
+def main() -> None:
+    from deepmetv2_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    on_tpu = jax.default_backend() != "cpu"
+    numerics = _numerics_gate(interpret=not on_tpu)
+
+    batch, etaphi, halo, x, w, bias = _make_graph_inputs(B, N, H, seed=0)
     nbr = radius_graph(etaphi, batch.mask, r=R, k=K)
     edges = float(jnp.sum(nbr.mask))
 
-    def grad_of(fn):
-        return jax.jit(jax.value_and_grad(
-            lambda x, w: jnp.sum(fn(x, w) ** 2), argnums=(0, 1)))
-
-    on_tpu = jax.default_backend() != "cpu"
+    g = WindowGraph(etaphi, batch.mask, r=R, halo=halo)
     if on_tpu:
         from deepmetv2_tpu.ops.pallas.edgeconv_window import (
             window_edgeconv_linear_pallas,
         )
-        g = WindowGraph(etaphi, batch.mask, r=R, halo=halo)
-        fast = grad_of(lambda x, w: window_edgeconv_linear_pallas(
+        fast = _grad_of(lambda x, w: window_edgeconv_linear_pallas(
             x, g, w, bias))
     else:
-        from deepmetv2_tpu.ops.window import window_edgeconv_linear
-        g = WindowGraph(etaphi, batch.mask, r=R, halo=halo)
-        fast = grad_of(lambda x, w: window_edgeconv_linear(x, g, w, bias))
+        fast = _grad_of(lambda x, w: window_edgeconv_linear(x, g, w, bias))
 
     t_fast = _time(fast, x, w)
-    naive = grad_of(lambda x, w: _naive_edgeconv(x, nbr, w, bias))
+    naive = _grad_of(lambda x, w: _naive_edgeconv(x, nbr, w, bias))
     t_naive = _time(naive, x, w)
-    factored = grad_of(lambda x, w: edgeconv_linear(x, nbr, w, bias, "max"))
+    factored = _grad_of(lambda x, w: edgeconv_linear(x, nbr, w, bias, "max"))
     t_factored = _time(factored, x, w)
+
+    sweep = _sweep(on_tpu)
 
     # End-to-end train step (graph build + fwd + loss + bwd + AdamW) on the
     # flagship model, window mode — the full per-step pipeline of reference
@@ -158,9 +315,11 @@ def main() -> None:
         "extras": {
             "config": {"B": B, "N": N, "H": H, "K": K, "r": R, "halo": halo,
                        "true_edges": edges},
+            "numerics": numerics,
             "window_pallas_ms": t_fast * 1e3,
             "naive_refdesign_ms": t_naive * 1e3,
             "factored_nbrlist_ms": t_factored * 1e3,
+            "sweep": sweep,
             "train_step_window_ms": t_step * 1e3,
             "train_step_events_per_s": B / t_step,
             "inference_step_ms": t_infer * 1e3,

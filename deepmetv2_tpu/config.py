@@ -54,8 +54,16 @@ class DRNConfig:
     hidden_dim: int = 64
     output_dim: int = 2
     k: int = 16
-    aggr: str = "max"          # commented-out Net used 'max' (model/net.py:17)
+    # 'add' is the DRN ctor default (model/dynamic_reduction_network.py:40)
+    # and is what makes a *sum* target (MET) representable through the
+    # pooling stack; the commented-out Net used 'max' (model/net.py:17).
+    aggr: str = "add"
     pool_rounds: int = 2       # two knn+coarsen stages
+    # Output head: 'polar' = the reference's commented Net head (softplus
+    # MET magnitude + sigmoid-bounded phi, model/net.py:33-35); 'cartesian'
+    # = direct (METx, METy) regression — better conditioned (no phi
+    # wraparound discontinuity at +/-pi, no saturating sigmoid).
+    head: str = "polar"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,6 +77,11 @@ class OptimConfig:
     plateau_factor: float = 0.5
     plateau_patience: int = 500
     plateau_threshold: float = 0.05      # relative, mode 'min'
+    # Global-norm gradient clipping.  None (default) = off, matching the
+    # reference exactly (train.py:51-52 has no clipping — and exhibits the
+    # same late-training loss blow-ups our parity runs reproduce); set to
+    # e.g. 10.0 to stabilize long runs.
+    grad_clip_norm: Optional[float] = None
 
 
 @dataclasses.dataclass(frozen=True)

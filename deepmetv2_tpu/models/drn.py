@@ -87,8 +87,9 @@ def drn_init(key: jax.Array, cfg: DRNConfig = DRNConfig(),
         "output": mlp_init(keys[1], (H, H, H // 2, cfg.output_dim), dtype),
         "convs": [],
     }
-    if met_bias > 0:
-        # softplus⁻¹(m) = m + log1p(−exp(−m))
+    if met_bias > 0 and cfg.head == "polar":
+        # softplus⁻¹(m) = m + log1p(−exp(−m)).  Only the polar head needs
+        # this: a cartesian head regresses a ~zero-mean (METx, METy) vector.
         inv = met_bias + float(jnp.log1p(-jnp.exp(-jnp.asarray(met_bias))))
         last = sorted(params["output"].keys())[-1]
         b = params["output"][last]["b"]
@@ -180,11 +181,17 @@ def drn_apply(
 
 def drn_net_apply(params, state, batch: EventBatch, train: bool = False,
                   cfg: DRNConfig = DRNConfig()):
-    """The commented-out DRN ``Net`` head (reference model/net.py:14-37):
-    MET magnitude via softplus, phi via pi·(2·sigmoid − 1)."""
+    """Output head on top of ``drn_apply``.
+
+    ``cfg.head == 'polar'``: the commented-out DRN ``Net`` head (reference
+    model/net.py:14-37) — MET magnitude via softplus, phi via
+    pi·(2·sigmoid − 1).  ``cfg.head == 'cartesian'``: direct (METx, METy)
+    regression (no wraparound discontinuity, no saturating sigmoid)."""
     x = jnp.concatenate(
         [batch.x_cont, batch.x_cat.astype(batch.x_cont.dtype)], axis=-1)
     out, new_state = drn_apply(params, state, x, batch.mask, train, cfg)
+    if cfg.head == "cartesian":
+        return out[:, 0:2], new_state
     met = jax.nn.softplus(out[:, 0:1])
     metphi = jnp.pi * (2.0 * jax.nn.sigmoid(out[:, 1:2]) - 1.0)
     return jnp.concatenate([met, metphi], axis=1), new_state

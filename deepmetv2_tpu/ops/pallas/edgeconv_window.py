@@ -48,14 +48,16 @@ from deepmetv2_tpu.ops.window import WindowGraph
 NEG_INF = float("-inf")  # python float: jnp consts can't be captured by kernels
 PAD_POS = 1e9
 LANE = 128
-WCHUNK = 16  # window sublane chunk swept per loop iteration
+WCHUNK = 16  # default window sublane chunk swept per loop iteration
 DEFAULT_TILE = 16  # query rows per grid step; small tiles prune tighter
 # (WCHUNK=16, tile=16 measured fastest on v5e at B8/N2048/H32: the chunk
-# interval [lo,hi) is per tile, so narrow tiles skip most of the window)
+# interval [lo,hi) is per tile, so narrow tiles skip most of the window;
+# bench.py sweeps (tile, wchunk) across shapes and records the winners)
 
 
 def _fwd_kernel(c_hbm, eta_hbm, phi_hbm, qe_ref, qp_ref, lo_ref, hi_ref,
-                out_ref, cwin, ewin, pwin, sems, *, tile, w_win, r2):
+                out_ref, cwin, ewin, pwin, sems, *, tile, w_win, r2,
+                wchunk):
     b = pl.program_id(0)
     i = pl.program_id(1)
     s = i * tile  # window start in the halo-padded source arrays
@@ -77,7 +79,7 @@ def _fwd_kernel(c_hbm, eta_hbm, phi_hbm, qe_ref, qp_ref, lo_ref, hi_ref,
     T, F = qe.shape
 
     def chunk(k, acc):
-        sl = pl.ds(k * WCHUNK, WCHUNK)
+        sl = pl.ds(k * wchunk, wchunk)
         cw = cwin[sl, :]                                 # [Wc, F]
         de = qe[:, None, :] - ewin[sl, :][None, :, :]    # [T, Wc, F]
         dp = qp[:, None, :] - pwin[sl, :][None, :, :]
@@ -91,7 +93,7 @@ def _fwd_kernel(c_hbm, eta_hbm, phi_hbm, qe_ref, qp_ref, lo_ref, hi_ref,
 
 def _bwd_kernel(eta_hbm, phi_hbm, m_hbm, g_hbm, ct_ref, qe_ref, qp_ref,
                 lo_ref, hi_ref, dc_ref, mwin, gwin, ewin, pwin, sems, *,
-                tile, w_win, r2):
+                tile, w_win, r2, wchunk):
     """dc[s,h] = Σ_q [adj(q,s) ∧ c[s,h] == m[q,h]] · g[q,h].
 
     Source-tile centric: the queries whose windows include source s lie in
@@ -118,7 +120,7 @@ def _bwd_kernel(eta_hbm, phi_hbm, m_hbm, g_hbm, ct_ref, qe_ref, qp_ref,
         cp.wait()
 
     def chunk(k, acc):
-        sl = pl.ds(k * WCHUNK, WCHUNK)
+        sl = pl.ds(k * wchunk, wchunk)
         mw = mwin[sl, :]                                 # [Wc, F] query max
         gw = gwin[sl, :]                                 # [Wc, F] query grad
         de = qe[:, None, :] - ewin[sl, :][None, :, :]    # [T, Wc, F]
@@ -171,19 +173,19 @@ def _lane_pad(arr, value=0.0):
     return jnp.pad(arr, ((0, 0), (0, 0), (0, F - H)), constant_values=value)
 
 
-def _grid_params(N, halo, tile):
+def _grid_params(N, halo, tile, wchunk):
     assert N % tile == 0, f"N={N} must be a multiple of tile={tile}"
     halo_pad = -(-halo // 64) * 64
     w_win = tile + 2 * halo_pad
-    # The chunk loop sweeps whole WCHUNK slabs; round the window up and
+    # The chunk loop sweeps whole wchunk slabs; round the window up and
     # right-pad the source arrays to match, so a partial trailing chunk can
     # never be silently dropped (PAD_POS rows are never adjacent to
     # anything, so the extra rows are inert).
-    extra = -w_win % WCHUNK
+    extra = -w_win % wchunk
     return halo_pad, w_win + extra, extra
 
 
-def _chunk_bounds(eta, halo_pad, extra, tile, r, pack, n_chunks):
+def _chunk_bounds(eta, halo_pad, extra, tile, r, pack, n_chunks, wchunk):
     """Per-(packed-batch, tile) window-chunk interval [lo, hi) that can
     contain neighbors, from eta intervals alone (eta is the sorted axis, so
     a chunk whose eta range misses [tile_min − r, tile_max + r] holds no
@@ -192,7 +194,7 @@ def _chunk_bounds(eta, halo_pad, extra, tile, r, pack, n_chunks):
     (query-centric) and backward (source-centric) kernels.
 
     ``eta``: [B, N] with PAD_POS on padded rows.  Shapes must align to the
-    WCHUNK grid (checked by the caller).  Returns int32 [Bp, n_tiles] x2.
+    wchunk grid (checked by the caller).  Returns int32 [Bp, n_tiles] x2.
     """
     B, N = eta.shape
     n_tiles = N // tile
@@ -203,11 +205,11 @@ def _chunk_bounds(eta, halo_pad, extra, tile, r, pack, n_chunks):
 
     epad = jnp.pad(e, ((0, 0), (halo_pad, halo_pad + extra)),
                    constant_values=jnp.inf)
-    G = (N + 2 * halo_pad + extra) // WCHUNK
-    eg = epad.reshape(B, G, WCHUNK)
+    G = (N + 2 * halo_pad + extra) // wchunk
+    eg = epad.reshape(B, G, wchunk)
     gmin = jnp.min(eg, axis=-1)
     gmax = jnp.max(jnp.where(jnp.isfinite(eg), eg, -jnp.inf), axis=-1)
-    base = (jnp.arange(n_tiles) * tile) // WCHUNK             # [n_tiles]
+    base = (jnp.arange(n_tiles) * tile) // wchunk             # [n_tiles]
     idx = base[:, None] + jnp.arange(n_chunks)[None, :]       # [n_tiles, C]
     cmin = gmin[:, idx]                                       # [B, n_tiles, C]
     cmax = gmax[:, idx]
@@ -239,28 +241,28 @@ def _prepare(c, pos, halo_pad, extra, pack, m_fill=0.0):
     return halo(cpk, m_fill), halo(eta, PAD_POS), halo(phi, PAD_POS), eta, phi
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def window_max(c, pos, r2: float, halo: int, tile: int = DEFAULT_TILE,
-               interpret: bool = False):
+               interpret: bool = False, wchunk: int = WCHUNK):
     """``m[b,i,:] = max over w with ‖pos_i − pos_w‖² < r2 of c[b,w,:]``
     (window-limited to ±halo in the sorted order); -inf where no neighbor.
 
     ``pos`` is ``[B, N, 2]`` with +1e9 rows for padded nodes (see wrapper).
     """
-    return _window_max_impl(c, pos, r2, halo, tile, interpret)
+    return _window_max_impl(c, pos, r2, halo, tile, interpret, wchunk)
 
 
 def _bounds_or_static(pos, halo_pad, extra, w_win, tile, r2, pack, Bp,
-                      n_tiles):
-    """Dynamic eta-pruned chunk bounds when shapes align to the WCHUNK
+                      n_tiles, wchunk):
+    """Dynamic eta-pruned chunk bounds when shapes align to the wchunk
     grid; otherwise the static full sweep (tiny-shape test configs).
-    ``w_win`` is always a WCHUNK multiple (see _grid_params), so the
+    ``w_win`` is always a wchunk multiple (see _grid_params), so the
     static sweep covers the whole window."""
-    n_chunks = w_win // WCHUNK
-    assert w_win % WCHUNK == 0
-    if tile % WCHUNK == 0 and halo_pad % WCHUNK == 0:
+    n_chunks = w_win // wchunk
+    assert w_win % wchunk == 0
+    if tile % wchunk == 0 and halo_pad % wchunk == 0:
         return _chunk_bounds(pos[..., 0], halo_pad, extra, tile, r2 ** 0.5,
-                             pack, n_chunks)
+                             pack, n_chunks, wchunk)
     return (jnp.zeros((Bp, n_tiles), jnp.int32),
             jnp.full((Bp, n_tiles), n_chunks, jnp.int32))
 
@@ -272,17 +274,18 @@ def _pick_tile(tile: int, N: int) -> int:
     return tile if N % tile == 0 else N
 
 
-def _window_max_impl(c, pos, r2, halo, tile, interpret):
+def _window_max_impl(c, pos, r2, halo, tile, interpret, wchunk=WCHUNK):
     B, N, H = c.shape
     tile = _pick_tile(tile, N)
-    halo_pad, w_win, extra = _grid_params(N, halo, tile)
+    halo_pad, w_win, extra = _grid_params(N, halo, tile, wchunk)
     pack = _pack_factor(H)
     cpad, eta_pad, phi_pad, qe, qp = _prepare(c, pos, halo_pad, extra, pack)
     Bp, _, F = qe.shape
     lo, hi = _bounds_or_static(pos, halo_pad, extra, w_win, tile, r2, pack,
-                               Bp, N // tile)
+                               Bp, N // tile, wchunk)
 
-    kernel = functools.partial(_fwd_kernel, tile=tile, w_win=w_win, r2=r2)
+    kernel = functools.partial(_fwd_kernel, tile=tile, w_win=w_win, r2=r2,
+                               wchunk=wchunk)
     m = pl.pallas_call(
         kernel,
         grid=(Bp, N // tile),
@@ -311,16 +314,16 @@ def _window_max_impl(c, pos, r2, halo, tile, interpret):
     return _unpack_features(m, pack, B, H)
 
 
-def _window_max_fwd(c, pos, r2, halo, tile, interpret):
-    m = _window_max_impl(c, pos, r2, halo, tile, interpret)
+def _window_max_fwd(c, pos, r2, halo, tile, interpret, wchunk):
+    m = _window_max_impl(c, pos, r2, halo, tile, interpret, wchunk)
     return m, (c, pos, m)
 
 
-def _window_max_bwd(r2, halo, tile, interpret, res, g):
+def _window_max_bwd(r2, halo, tile, interpret, wchunk, res, g):
     c, pos, m = res
     B, N, H = c.shape
     tile_ = _pick_tile(tile, N)
-    halo_pad, w_win, extra = _grid_params(N, halo, tile_)
+    halo_pad, w_win, extra = _grid_params(N, halo, tile_, wchunk)
     pack = _pack_factor(H)
     # m of padded/empty rows is -inf; grads there are irrelevant but must
     # not poison the equality check -> replace by +inf (never equals a real
@@ -337,9 +340,10 @@ def _window_max_bwd(r2, halo, tile, interpret, res, g):
     cl = _lane_pad(_pack_features(c, pack))
     Bp, _, F = qe.shape
     lo, hi = _bounds_or_static(pos, halo_pad, extra, w_win, tile_, r2, pack,
-                               Bp, N // tile_)
+                               Bp, N // tile_, wchunk)
 
-    kernel = functools.partial(_bwd_kernel, tile=tile_, w_win=w_win, r2=r2)
+    kernel = functools.partial(_bwd_kernel, tile=tile_, w_win=w_win, r2=r2,
+                               wchunk=wchunk)
     dc = pl.pallas_call(
         kernel,
         grid=(Bp, N // tile_),
@@ -382,6 +386,7 @@ def window_edgeconv_linear_pallas(
     bias: Optional[jnp.ndarray],
     tile: int = DEFAULT_TILE,
     interpret: bool = False,
+    wchunk: int = WCHUNK,
 ) -> jnp.ndarray:
     """Drop-in equivalent of ops/window.window_edgeconv_linear('max') with
     the aggregation running as a Pallas kernel.  The GEMMs stay in XLA
@@ -394,6 +399,10 @@ def window_edgeconv_linear_pallas(
     if bias is not None:
         a = a + bias
     pos = jnp.where(g.mask[..., None], g.etaphi, PAD_POS)
-    m = window_max(c, pos, float(g.r) ** 2, g.halo, tile, interpret)
-    has = jnp.isfinite(m[..., :1])
+    m = window_max(c, pos, float(g.r) ** 2, g.halo, tile, interpret, wchunk)
+    # Padded nodes all sit at the same PAD_POS sentinel, so they are
+    # adjacent to each OTHER (distance 0): their m is a real number, not
+    # -inf.  Mask them explicitly — the op's contract (like ops/window.py)
+    # is 0 output and 0 gradient at padded nodes.
+    has = jnp.isfinite(m[..., :1]) & g.mask[..., None]
     return jnp.where(has, a + jnp.where(has, m, 0.0), 0.0)

@@ -123,5 +123,8 @@ def window_edgeconv_linear_sharded(
     pos = jnp.where(g.mask[..., None], g.etaphi, PAD_POS)
     m = window_max_sharded(c, pos, float(g.r) ** 2, g.halo, mesh,
                            node_axis, data_axis, interpret)
-    has = jnp.isfinite(m[..., :1])
+    # Padded nodes share the PAD_POS sentinel and are mutually adjacent
+    # (distance 0), so the Pallas branch returns finite m there; mask them
+    # out explicitly (contract: 0 output / 0 gradient at padded nodes).
+    has = jnp.isfinite(m[..., :1]) & g.mask[..., None]
     return jnp.where(has, a + jnp.where(has, m, 0.0), 0.0)

@@ -43,21 +43,25 @@ def loss_fn(weights: jnp.ndarray, batch: EventBatch) -> jnp.ndarray:
     return 0.5 * total / jnp.maximum(jnp.sum(ev), 1)
 
 
-def drn_met_vector(pred: jnp.ndarray) -> jnp.ndarray:
-    """(MET, phi) head output → cartesian MET estimate [B, 2]
-    (reference model/net.py:33-35: softplus magnitude, phi in (−π, π))."""
+def drn_met_vector(pred: jnp.ndarray, head: str = "polar") -> jnp.ndarray:
+    """Head output → cartesian MET estimate [B, 2].  'polar' converts the
+    (MET, phi) head (reference model/net.py:33-35: softplus magnitude, phi
+    in (−π, π)); 'cartesian' passes (METx, METy) through."""
+    if head == "cartesian":
+        return pred[:, 0:2]
     met, metphi = pred[:, 0], pred[:, 1]
     return jnp.stack([met * jnp.cos(metphi), met * jnp.sin(metphi)], axis=1)
 
 
-def drn_loss_fn(pred: jnp.ndarray, batch: EventBatch) -> jnp.ndarray:
+def drn_loss_fn(pred: jnp.ndarray, batch: EventBatch,
+                head: str = "polar") -> jnp.ndarray:
     """Vector MET regression for the DRN head: 0.5 · mean_B ‖v_pred − genMET‖².
 
     The reference keeps the DRN ``Net`` commented out with no loss wired
     (model/net.py:12-37); this is the regression its (MET, phi) head
     implies, with the same 0.5·MSE convention as ``loss_fn``
     (model/net.py:49-62) and the same real-event masking."""
-    v = drn_met_vector(pred)
+    v = drn_met_vector(pred, head)
     per_event = (v[:, 0] - batch.y[:, 0]) ** 2 + (v[:, 1] - batch.y[:, 1]) ** 2
     ev = batch.num_valid > 0
     total = jnp.sum(jnp.where(ev, per_event, 0.0))

@@ -34,14 +34,20 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     """AdamW exactly as the reference configures it (train.py:75: lr 1e-3;
     torch defaults betas (0.9, 0.999), eps 1e-8, weight_decay 0.01).
     Learning rate is injected so the host-side plateau controller
-    (schedule.py) can adjust it between epochs without recompiling."""
-    return optax.inject_hyperparams(optax.adamw)(
+    (schedule.py) can adjust it between epochs without recompiling.
+    Optional global-norm gradient clipping (off by default for reference
+    parity) is chained in front of AdamW when configured."""
+    adamw = optax.inject_hyperparams(optax.adamw)(
         learning_rate=cfg.optim.lr,
         b1=cfg.optim.betas[0],
         b2=cfg.optim.betas[1],
         eps=cfg.optim.eps,
         weight_decay=cfg.optim.weight_decay,
     )
+    if cfg.optim.grad_clip_norm is not None:
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.optim.grad_clip_norm), adamw)
+    return adamw
 
 
 def init_train_state(params, bn_state, cfg: Config) -> TrainState:
@@ -55,11 +61,15 @@ def init_train_state(params, bn_state, cfg: Config) -> TrainState:
 
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
-    """Write the plateau-controlled lr into the injected hyperparams."""
+    """Write the plateau-controlled lr into the injected hyperparams.
+    With grad clipping the optimizer is a chain — find the element that
+    carries the injected hyperparams."""
     opt_state = state.opt_state
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(
-        lr, opt_state.hyperparams["learning_rate"].dtype
-    )
+    elems = (opt_state,) if hasattr(opt_state, "hyperparams") else opt_state
+    for el in elems:
+        if hasattr(el, "hyperparams"):
+            el.hyperparams["learning_rate"] = jnp.asarray(
+                lr, el.hyperparams["learning_rate"].dtype)
     return state._replace(opt_state=opt_state)
 
 

@@ -246,3 +246,48 @@ class TestWindowModeTraining:
             first = first if first is not None else loss
             last = loss
         assert np.isfinite(last) and last < first
+
+
+class TestPaddedNodeContract:
+    """Padded nodes must produce 0 output and 0 gradient — raw tensors,
+    NOT masked before comparison.  Regression: all padded nodes share the
+    PAD_POS sentinel, making them mutually 'adjacent' (distance 0) inside
+    the position-derived predicate; the wrapper must mask them out."""
+
+    def test_pallas_zero_at_padded_nodes(self):
+        import jax
+        from deepmetv2_tpu.ops.pallas.edgeconv_window import (
+            window_edgeconv_linear_pallas,
+        )
+
+        rng = np.random.default_rng(13)
+        B, N, H = 2, 128, 8
+        eta = np.sort(rng.uniform(-5, 5, (B, N)).astype(np.float32), axis=1)
+        phi = rng.uniform(-np.pi, np.pi, (B, N)).astype(np.float32)
+        mask = np.arange(N)[None, :] < np.array([[100], [77]])
+        g = WindowGraph(jnp.asarray(np.stack([eta, phi], -1)),
+                        jnp.asarray(mask), r=0.4, halo=64)
+        x = jnp.asarray(rng.normal(size=(B, N, H)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(2 * H, H)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(H,)).astype(np.float32))
+
+        out = window_edgeconv_linear_pallas(x, g, w, bias, interpret=True)
+        assert np.all(np.asarray(out)[~mask] == 0.0)
+
+        # UNMASKED loss: gradients at padded nodes must still be zero, and
+        # the whole tensors must match the XLA window formulation
+        def loss(fn):
+            return lambda x, w: jnp.sum(fn(x, w) ** 2)
+
+        vp, (dxp, dwp) = jax.value_and_grad(
+            loss(lambda x, w: window_edgeconv_linear_pallas(
+                x, g, w, bias, interpret=True)), argnums=(0, 1))(x, w)
+        vx, (dxx, dwx) = jax.value_and_grad(
+            loss(lambda x, w: window_edgeconv_linear(
+                x, g, w, bias, reduction="max")), argnums=(0, 1))(x, w)
+        assert np.all(np.asarray(dxp)[~mask] == 0.0)
+        np.testing.assert_allclose(float(vp), float(vx), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(dxp), np.asarray(dxx),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dwp), np.asarray(dwx),
+                                   rtol=1e-4, atol=1e-4)
