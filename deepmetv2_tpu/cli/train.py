@@ -42,6 +42,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "DynamicReductionNetwork direct (MET, phi) head "
                         "(the reference's commented-out Net, "
                         "model/net.py:12-37)")
+    p.add_argument("--drn_aggr", choices=["add", "max", "mean"], default=None,
+                   help="DRN EdgeConv aggregation (default from config: "
+                        "'add', the reference DRN ctor default)")
+    p.add_argument("--drn_head", choices=["polar", "cartesian"], default=None,
+                   help="DRN output head: 'polar' (reference commented Net, "
+                        "softplus MET + sigmoid phi) or 'cartesian' "
+                        "(direct METx/METy regression)")
+    p.add_argument("--grad_clip", type=float, default=None,
+                   help="global-norm gradient clipping (default: off, "
+                        "matching the reference)")
     p.add_argument("--mode", choices=["sequential", "bucketed"],
                    default="sequential", help="batching mode")
     p.add_argument("--graph_mode", choices=["window", "neighbor_list"],
@@ -88,9 +98,21 @@ def main(argv=None) -> int:
     if args.lr is not None:
         cfg = dataclasses.replace(
             cfg, optim=dataclasses.replace(cfg.optim, lr=args.lr))
+    if args.grad_clip is not None:
+        cfg = dataclasses.replace(
+            cfg, optim=dataclasses.replace(cfg.optim,
+                                           grad_clip_norm=args.grad_clip))
     if args.epochs is not None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, epochs=args.epochs))
+    drn_over = {}
+    if args.drn_aggr is not None:
+        drn_over["aggr"] = args.drn_aggr
+    if args.drn_head is not None:
+        drn_over["head"] = args.drn_head
+    if drn_over:
+        cfg = dataclasses.replace(
+            cfg, drn=dataclasses.replace(cfg.drn, **drn_over))
 
     if args.synthetic:
         events = synthetic_events(args.synthetic, seed=42)

@@ -129,10 +129,12 @@ def _edge_batchnorm(params, st: BatchNormState, msgs: jnp.ndarray,
 
 
 def _drn_edgeconv(conv_params, bn_state, x, nbr: Neighborhood, aggr: str,
-                  train: bool):
-    """EdgeConv with the DRN's nonlinear edge-MLP + edge BatchNorm."""
+                  train: bool, gather_fn=gather_neighbors):
+    """EdgeConv with the DRN's nonlinear edge-MLP + edge BatchNorm.
+    ``gather_fn(x, nbr)`` fetches neighbor features — the node-sharded path
+    (parallel/dyn.py) swaps in an all-gather-backed gather."""
     xi = x[:, :, None, :]
-    xj = gather_neighbors(x, nbr)
+    xj = gather_fn(x, nbr)
     e = jnp.concatenate([jnp.broadcast_to(xi, xj.shape), xj - xi], axis=-1)
     h = mlp_apply(conv_params["mlp"], e, final_act=True)   # ELU after each
     h, new_bn = _edge_batchnorm(conv_params["bn"], bn_state, h, nbr.mask,
@@ -158,17 +160,25 @@ def drn_apply(
     mask: jnp.ndarray,     # [B, N]
     train: bool = False,
     cfg: DRNConfig = DRNConfig(),
+    knn_fn=None,
+    gather_fn=gather_neighbors,
 ) -> Tuple[jnp.ndarray, State]:
     """Forward → per-event outputs [B, output_dim]
-    (reference model/dynamic_reduction_network.py:82-103)."""
+    (reference model/dynamic_reduction_network.py:82-103).
+
+    ``knn_fn(h, mask)`` / ``gather_fn(h, nbr)`` override the graph build
+    and neighbor fetch — the node-sharded DynamicEdgeConv (parallel/dyn.py)
+    injects its distributed top-k and all-gather-backed gather here."""
+    if knn_fn is None:
+        knn_fn = lambda h, m: knn_graph(h, m, k=cfg.k, loop=False)
     h = params["datanorm"] * x
     h = mlp_apply(params["inputnet"], h, final_act=True)
 
     new_states: List[BatchNormState] = []
     for r in range(cfg.pool_rounds):
-        nbr = to_undirected(knn_graph(h, mask, k=cfg.k, loop=False))
+        nbr = to_undirected(knn_fn(h, mask))
         h, bn_s = _drn_edgeconv(params["convs"][r], state["convs"][r], h,
-                                nbr, cfg.aggr, train)
+                                nbr, cfg.aggr, train, gather_fn)
         new_states.append(bn_s)
         w = normalized_cut_weights(h, nbr)
         cluster, partner = handshake_matching(w, nbr, mask)
@@ -180,7 +190,8 @@ def drn_apply(
 
 
 def drn_net_apply(params, state, batch: EventBatch, train: bool = False,
-                  cfg: DRNConfig = DRNConfig()):
+                  cfg: DRNConfig = DRNConfig(), knn_fn=None,
+                  gather_fn=gather_neighbors):
     """Output head on top of ``drn_apply``.
 
     ``cfg.head == 'polar'``: the commented-out DRN ``Net`` head (reference
@@ -189,7 +200,8 @@ def drn_net_apply(params, state, batch: EventBatch, train: bool = False,
     regression (no wraparound discontinuity, no saturating sigmoid)."""
     x = jnp.concatenate(
         [batch.x_cont, batch.x_cat.astype(batch.x_cont.dtype)], axis=-1)
-    out, new_state = drn_apply(params, state, x, batch.mask, train, cfg)
+    out, new_state = drn_apply(params, state, x, batch.mask, train, cfg,
+                               knn_fn, gather_fn)
     if cfg.head == "cartesian":
         return out[:, 0:2], new_state
     met = jax.nn.softplus(out[:, 0:1])

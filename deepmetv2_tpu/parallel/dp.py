@@ -56,6 +56,51 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, shard_nodes: bool = False):
     )
 
 
+def make_dp_eval_step(cfg: Config, mesh: Mesh):
+    """Data-parallel eval step (reference per-epoch eval, train.py:118):
+    events shard over the ``data`` axis so evaluation scales with the mesh
+    instead of serializing onto one chip.  Weights come back sharded over
+    ``data`` (metrics decompose per event downstream)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from deepmetv2_tpu.parallel.mesh import DATA_AXIS
+    from deepmetv2_tpu.train.step import eval_step_body
+
+    rep = replicate(mesh)
+    bsh = batch_sharding(mesh)
+    out_sh = (NamedSharding(mesh, P(DATA_AXIS, None)),   # weights [B, N]
+              rep,                                        # loss
+              NamedSharding(mesh, P(DATA_AXIS)))          # edges [B]
+    return jax.jit(eval_step_body(cfg),
+                   in_shardings=(rep, rep, bsh),
+                   out_shardings=out_sh)
+
+
+def make_drn_dp_eval_step(cfg: Config, mesh: Mesh):
+    """Data-parallel DRN eval step: per-event MET estimates [B, 2] sharded
+    over the ``data`` axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from deepmetv2_tpu.models.drn import drn_net_apply
+    from deepmetv2_tpu.parallel.mesh import DATA_AXIS
+    from deepmetv2_tpu.train.loss import drn_loss_fn, drn_met_vector
+
+    rep = replicate(mesh)
+    bsh = batch_sharding(mesh)
+
+    def eval_step(params, bn_state, batch: EventBatch):
+        import jax.numpy as jnp
+
+        pred, _ = drn_net_apply(params, bn_state, batch, train=False,
+                                cfg=cfg.drn)
+        v_met = drn_met_vector(pred, cfg.drn.head)
+        return v_met, drn_loss_fn(pred, batch, cfg.drn.head), jnp.zeros(
+            (batch.batch_size,), jnp.int32)
+
+    out_sh = (NamedSharding(mesh, P(DATA_AXIS, None)), rep,
+              NamedSharding(mesh, P(DATA_AXIS)))
+    return jax.jit(eval_step, in_shardings=(rep, rep, bsh),
+                   out_shardings=out_sh)
+
+
 def make_drn_dp_train_step(cfg: Config, mesh: Mesh):
     """Data-parallel train step for the DRN family: events shard over the
     ``data`` axis; the per-round feature-space kNN, coarsening, and
@@ -72,7 +117,7 @@ def make_drn_dp_train_step(cfg: Config, mesh: Mesh):
         def objective(params):
             pred, new_bn = drn_net_apply(params, state.bn_state, batch,
                                          train=True, cfg=cfg.drn)
-            return drn_loss_fn(pred, batch), new_bn
+            return drn_loss_fn(pred, batch, cfg.drn.head), new_bn
 
         (loss, new_bn), grads = jax.value_and_grad(objective, has_aux=True)(
             state.params)

@@ -121,8 +121,9 @@ def fit(
     ``mesh`` (a ``jax.sharding.Mesh`` from parallel.mesh.make_mesh) trains
     multi-chip: data-parallel over the ``data`` axis, and with
     ``shard_nodes=True`` edge-partitioned over the ``node`` axis (window
-    mode, halo exchange).  Evaluation stays on the default device
-    (parameters are replicated, so any device's copy is the global state).
+    mode, halo exchange).  Evaluation is data-parallel over the same mesh
+    (per-event metric decomposition shards trivially); if the eval batch
+    size does not divide over the data axis it falls back to one device.
 
     Multi-host safe: on a multi-process cluster every process computes,
     but only process 0 writes checkpoints/logs/artifacts."""
@@ -138,9 +139,10 @@ def fit(
                 "mesh training is wired for the flagship model; train the "
                 "DRN single-device (6.8k params) or via parallel.dp "
                 "directly")
-        from deepmetv2_tpu.parallel.dp import make_dp_train_step
+        from deepmetv2_tpu.parallel.dp import (make_dp_eval_step,
+                                               make_dp_train_step)
         from deepmetv2_tpu.parallel.ep import make_ep_train_step
-        from deepmetv2_tpu.parallel.mesh import shard_batch
+        from deepmetv2_tpu.parallel.mesh import DATA_AXIS, shard_batch
         raw_step = (make_ep_train_step(cfg, mesh) if shard_nodes
                     else make_dp_train_step(cfg, mesh))
 
@@ -149,7 +151,19 @@ def fit(
                 return raw_step(state,
                                 shard_batch(batch, mesh, shard_nodes))
 
-        eval_step = make_eval_step(cfg)
+        n_data = mesh.shape[DATA_AXIS]
+        raw_eval = make_dp_eval_step(cfg, mesh)
+        fallback_eval = make_eval_step(cfg)
+
+        def eval_step(params, bn_state, batch):
+            # eval batches shard over the data axis only (node-axis
+            # sharding buys nothing for the forward-only pass at these
+            # sizes); odd-sized final batches fall back to one device
+            if batch.batch_size % n_data:
+                return fallback_eval(params, bn_state, batch)
+            with mesh:
+                return raw_eval(params, bn_state,
+                                shard_batch(batch, mesh, False))
     elif model == "drn":
         from deepmetv2_tpu.train.step import (make_drn_eval_step,
                                               make_drn_train_step)

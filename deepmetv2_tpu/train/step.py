@@ -125,16 +125,17 @@ def make_train_step(cfg: Config):
     return train_step
 
 
-def make_eval_step(cfg: Config):
-    """Eval step returning weights in the CALLER's candidate order.
+def eval_step_body(cfg: Config):
+    """Unjitted eval-step body returning weights in the CALLER's candidate
+    order.
 
     In window mode the forward runs on the eta-sorted batch; the weights
     are unsorted back through the inverse permutation so downstream
     consumers (resolution metrics, plt_weight histograms — reference
     evaluate.py:103, plt_weight.py:124-131) can pair them with their own
-    per-candidate features."""
+    per-candidate features.  ``make_eval_step`` jits this for one device;
+    parallel.dp.make_dp_eval_step jits it with mesh shardings."""
 
-    @jax.jit
     def eval_step(params, bn_state, batch: EventBatch):
         if cfg.graph.mode == "window":
             from deepmetv2_tpu.data.sorting import sort_by_eta
@@ -158,6 +159,11 @@ def make_eval_step(cfg: Config):
     return eval_step
 
 
+def make_eval_step(cfg: Config):
+    """Single-device jitted eval step (see eval_step_body)."""
+    return jax.jit(eval_step_body(cfg))
+
+
 def make_drn_train_step(cfg: Config):
     """Train step for the DynamicReductionNetwork family.  No radius graph
     is built — the DRN rebuilds feature-space kNN graphs internally per
@@ -171,7 +177,7 @@ def make_drn_train_step(cfg: Config):
         def objective(params):
             pred, new_bn = drn_net_apply(params, state.bn_state, batch,
                                          train=True, cfg=cfg.drn)
-            return drn_loss_fn(pred, batch), new_bn
+            return drn_loss_fn(pred, batch, cfg.drn.head), new_bn
 
         (loss, new_bn), grads = jax.value_and_grad(objective, has_aux=True)(
             state.params
@@ -192,8 +198,8 @@ def make_drn_eval_step(cfg: Config):
     def eval_step(params, bn_state, batch: EventBatch):
         pred, _ = drn_net_apply(params, bn_state, batch, train=False,
                                 cfg=cfg.drn)
-        v_met = drn_met_vector(pred)
-        return v_met, drn_loss_fn(pred, batch), jnp.zeros(
+        v_met = drn_met_vector(pred, cfg.drn.head)
+        return v_met, drn_loss_fn(pred, batch, cfg.drn.head), jnp.zeros(
             (batch.batch_size,), jnp.int32)
 
     return eval_step
