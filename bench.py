@@ -307,6 +307,34 @@ def main() -> None:
 
     t_step = time_steps(step, state, ITERS)
 
+    # Loader-fed epoch throughput: synchronous host feed vs the
+    # double-buffered prefetch_to_device staging (VERDICT r1 #7).  Same
+    # cached host batches, same train step; only the feed differs.
+    from deepmetv2_tpu.data import fetch_dataloader
+    from deepmetv2_tpu.data.loader import prefetch_to_device
+
+    ld = fetch_dataloader(
+        events=synthetic_events(64, seed=3, n_min=N - 256, n_max=N - 1),
+        batch_size=B, validation_split=0.0, buckets=(N,))["train"]
+    list(ld)  # build the host-side collation cache
+
+    params2, bn2 = graph_met_init(jax.random.PRNGKey(1))
+    stt = init_train_state(params2, bn2, cfg)
+
+    def time_epoch(make_feed, stt, reps=3):
+        best = float("inf")
+        for _ in range(reps + 1):           # first rep doubles as warmup
+            t0 = time.perf_counter()
+            for b in make_feed():
+                stt, loss = step(stt, b)
+            jax.block_until_ready(loss)
+            best = min(best, time.perf_counter() - t0)
+        return best, stt
+
+    t_sync, stt = time_epoch(lambda: iter(ld), stt)
+    t_pref, stt = time_epoch(lambda: prefetch_to_device(ld), stt)
+    n_ev = len(ld) * B
+
     result = {
         "metric": "edgeconv_fwd_bwd_edges_per_s",
         "value": edges / t_fast,
@@ -322,6 +350,9 @@ def main() -> None:
             "sweep": sweep,
             "train_step_window_ms": t_step * 1e3,
             "train_step_events_per_s": B / t_step,
+            "epoch_feed_sync_events_per_s": n_ev / t_sync,
+            "epoch_feed_prefetch_events_per_s": n_ev / t_pref,
+            "prefetch_speedup": t_sync / t_pref,
             "inference_step_ms": t_infer * 1e3,
             "inference_events_per_s": B / t_infer,
             "device": str(jax.devices()[0]),

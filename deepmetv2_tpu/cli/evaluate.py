@@ -40,7 +40,15 @@ def main(argv=None) -> int:
 
     from deepmetv2_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+
+    # Evaluate under the RUN's resolved config (fit writes config.json next
+    # to the checkpoints): model family hyperparameters like the DRN head /
+    # aggregation / output scale must match what was trained.
     cfg = Config()
+    cfg_path = osp.join(os.environ.get("PWD", "."), args.ckpts, "config.json")
+    if osp.exists(cfg_path):
+        with open(cfg_path) as f:
+            cfg = Config.from_json(f.read())
 
     if args.synthetic:
         events = synthetic_events(args.synthetic, seed=42)

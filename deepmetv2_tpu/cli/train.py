@@ -159,7 +159,12 @@ def main(argv=None) -> int:
         var = np.maximum(s2 / cnt - (s1 / cnt) ** 2, 0.0)
         std = np.sqrt(var)
         norm = tuple(1.0 / np.where(std > 1e-6, std, 1.0))
-        print(f"drn: output bias init to mean |genMET| = {met_bias:.1f}; "
+        # Data-dependent output scale: the head emits O(1) units, the
+        # target is O(10^2) GeV — see DRNConfig.output_scale.
+        if met_bias > 0:
+            cfg = dataclasses.replace(
+                cfg, drn=dataclasses.replace(cfg.drn, output_scale=met_bias))
+        print(f"drn: output scale = mean |genMET| = {met_bias:.1f}; "
               f"datanorm from training-set feature stds")
         params, bn_state = drn_init(jax.random.PRNGKey(args.seed), cfg.drn,
                                     norm=norm, met_bias=met_bias)

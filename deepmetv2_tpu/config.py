@@ -64,6 +64,12 @@ class DRNConfig:
     # = direct (METx, METy) regression — better conditioned (no phi
     # wraparound discontinuity at +/-pi, no saturating sigmoid).
     head: str = "polar"
+    # Multiplier from network output units to GeV.  MET is O(10²) GeV while
+    # the head sees O(1) activations and AdamW moves weights ~lr per step —
+    # without this scale the head needs O(scale/lr) steps just to reach the
+    # target's magnitude.  Set it to the training set's mean |genMET|
+    # (cli/train.py does this automatically).
+    output_scale: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -126,6 +126,29 @@ class PaddedLoader:
             self._cache = built
 
 
+def prefetch_to_device(it, size: int = 2, place=None):
+    """Double-buffered host→device feed (SURVEY.md §2b: "device resident,
+    double-buffered host→device feed").
+
+    ``jax.device_put`` is asynchronous: staging batch i+1 while the step
+    for batch i executes overlaps the H2D transfer with compute, so the
+    accelerator never waits on the feed.  ``place`` overrides the
+    placement (e.g. ``shard_batch`` for mesh training — a later
+    ``device_put`` against the same shardings is then a no-op)."""
+    import collections
+
+    import jax
+
+    place = place if place is not None else jax.device_put
+    q = collections.deque()
+    for b in it:
+        q.append(place(b))
+        if len(q) > size:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 def fetch_dataloader(
     data_dir: Optional[str] = None,
     batch_size: int = 6,

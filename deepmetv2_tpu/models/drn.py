@@ -88,9 +88,11 @@ def drn_init(key: jax.Array, cfg: DRNConfig = DRNConfig(),
         "convs": [],
     }
     if met_bias > 0 and cfg.head == "polar":
-        # softplus⁻¹(m) = m + log1p(−exp(−m)).  Only the polar head needs
+        # softplus⁻¹(m) = m + log1p(−exp(−m)) in OUTPUT units (the head
+        # multiplies by cfg.output_scale).  Only the polar head needs
         # this: a cartesian head regresses a ~zero-mean (METx, METy) vector.
-        inv = met_bias + float(jnp.log1p(-jnp.exp(-jnp.asarray(met_bias))))
+        m = met_bias / cfg.output_scale
+        inv = m + float(jnp.log1p(-jnp.exp(-jnp.asarray(m))))
         last = sorted(params["output"].keys())[-1]
         b = params["output"][last]["b"]
         params["output"][last]["b"] = b.at[0].set(inv)
@@ -203,7 +205,7 @@ def drn_net_apply(params, state, batch: EventBatch, train: bool = False,
     out, new_state = drn_apply(params, state, x, batch.mask, train, cfg,
                                knn_fn, gather_fn)
     if cfg.head == "cartesian":
-        return out[:, 0:2], new_state
-    met = jax.nn.softplus(out[:, 0:1])
+        return cfg.output_scale * out[:, 0:2], new_state
+    met = cfg.output_scale * jax.nn.softplus(out[:, 0:1])
     metphi = jnp.pi * (2.0 * jax.nn.sigmoid(out[:, 1:2]) - 1.0)
     return jnp.concatenate([met, metphi], axis=1), new_state

@@ -31,17 +31,21 @@ from deepmetv2_tpu.utils.logging import RunningAverage, StepTimer
 
 
 def train_one_epoch(state, train_step, loader: PaddedLoader, epoch: int,
-                    log_every: int = 50, verbose: bool = True):
+                    log_every: int = 50, verbose: bool = True, place=None):
     """One pass over the training set (reference train.py:34-60).
 
     Unlike the reference's per-step ``loss.item()`` device sync
     (train.py:54), losses stay on device until the epoch ends — steps
-    pipeline back-to-back and the host never blocks the TPU."""
+    pipeline back-to-back and the host never blocks the TPU.  Batches are
+    staged onto the device double-buffered (``prefetch_to_device``);
+    ``place`` overrides the placement for mesh training."""
+    from deepmetv2_tpu.data.loader import prefetch_to_device
+
     losses = []
     avg = RunningAverage()
     timer = StepTimer()
     timer.start()
-    for i, batch in enumerate(loader):
+    for i, batch in enumerate(prefetch_to_device(loader, place=place)):
         state, loss = train_step(state, batch)
         losses.append(loss)            # device scalar — no sync
         timer.update(num_edges=0, num_nodes=int(np.sum(np.asarray(batch.num_valid))))
@@ -61,16 +65,18 @@ def train_one_epoch(state, train_step, loader: PaddedLoader, epoch: int,
 
 
 def evaluate(params, bn_state, eval_step, loader: PaddedLoader,
-             cfg: Config, verbose: bool = True, model: str = "graphmet"
-             ) -> Tuple[Dict[str, float], Dict]:
+             cfg: Config, verbose: bool = True, model: str = "graphmet",
+             place=None) -> Tuple[Dict[str, float], Dict]:
     """Full validation pass + qT-binned resolution summary
     (reference evaluate.py:31-164).  ``model`` selects how the eval step's
     first output is interpreted: per-candidate weights ('graphmet') or a
     direct cartesian MET estimate ('drn')."""
+    from deepmetv2_tpu.data.loader import prefetch_to_device
+
     losses = []
     arrs, qts, evs = [], [], []
     has_deepmet = False
-    for batch in loader:
+    for batch in prefetch_to_device(loader, place=place):
         w, loss, _ = eval_step(params, bn_state, batch)
         losses.append(loss)           # device scalar; stacked at the end
         has_deepmet = bool(batch.y.shape[1] > 6)
@@ -155,6 +161,16 @@ def fit(
         raw_eval = make_dp_eval_step(cfg, mesh)
         fallback_eval = make_eval_step(cfg)
 
+        # prefetch placements: stage batches pre-sharded so the steps'
+        # internal shard_batch/device_put is a no-op
+        def train_place(b):
+            return shard_batch(b, mesh, shard_nodes)
+
+        def eval_place(b):
+            if b.batch_size % n_data:
+                return jax.device_put(b)
+            return shard_batch(b, mesh, False)
+
         def eval_step(params, bn_state, batch):
             # eval batches shard over the data axis only (node-axis
             # sharding buys nothing for the forward-only pass at these
@@ -169,9 +185,11 @@ def fit(
                                               make_drn_train_step)
         train_step = make_drn_train_step(cfg)
         eval_step = make_drn_eval_step(cfg)
+        train_place = eval_place = None
     else:
         train_step = make_train_step(cfg)
         eval_step = make_eval_step(cfg)
+        train_place = eval_place = None
     scheduler = ReduceLROnPlateau(
         lr=cfg.optim.lr,
         factor=cfg.optim.plateau_factor,
@@ -213,7 +231,8 @@ def fit(
             print(f"Learning rate: {scheduler.lr}")
 
         state, train_loss = train_one_epoch(state, train_step, train_loader,
-                                            epoch, verbose=verbose)
+                                            epoch, verbose=verbose,
+                                            place=train_place)
         new_lr = scheduler.step(train_loss)        # reference train.py:58
         state = set_learning_rate(state, new_lr)
 
@@ -223,7 +242,7 @@ def fit(
 
         test_metrics, resolutions = evaluate(
             state.params, state.bn_state, eval_step, val_loader, cfg,
-            verbose=verbose, model=model)
+            verbose=verbose, model=model, place=eval_place)
         validation_loss = test_metrics["loss"]
         loss_log.write(f"{epoch},{train_loss:.2f},{validation_loss:.2f}\n")
         loss_log.flush()
