@@ -7,6 +7,24 @@ import os.path as osp
 from deepmetv2_tpu.config import Config
 
 
+def load_run_config(ckpt_dir: str) -> Config:
+    """Defaults with the MODEL-SEMANTIC sections of the run's resolved
+    config (fit writes config.json next to the checkpoints) grafted in:
+    model / drn / graph determine how a checkpoint must be interpreted
+    (e.g. DRN head, aggregation, output scale, graph metric), while data /
+    train sections describe the TRAINING run's inputs and must not leak
+    into whatever dataset this CLI is pointed at."""
+    import dataclasses
+
+    path = osp.join(ckpt_dir, "config.json")
+    if not osp.exists(path):
+        return Config()
+    with open(path) as f:
+        run = Config.from_json(f.read())
+    return dataclasses.replace(Config(), model=run.model, drn=run.drn,
+                               graph=run.graph)
+
+
 def load_model_for_eval(args, cfg: Config, ckpt_dir: str):
     """(params, bn_state, eval_step) from the CLI's checkpoint flags.
 

@@ -44,11 +44,8 @@ def main(argv=None) -> int:
     # Evaluate under the RUN's resolved config (fit writes config.json next
     # to the checkpoints): model family hyperparameters like the DRN head /
     # aggregation / output scale must match what was trained.
-    cfg = Config()
-    cfg_path = osp.join(os.environ.get("PWD", "."), args.ckpts, "config.json")
-    if osp.exists(cfg_path):
-        with open(cfg_path) as f:
-            cfg = Config.from_json(f.read())
+    from deepmetv2_tpu.cli.common import load_run_config
+    cfg = load_run_config(osp.join(os.environ.get("PWD", "."), args.ckpts))
 
     if args.synthetic:
         events = synthetic_events(args.synthetic, seed=42)

@@ -35,7 +35,8 @@ def main(argv=None) -> int:
     p.add_argument("--from_torch", default=None)
     args = p.parse_args(argv)
 
-    cfg = Config()
+    from deepmetv2_tpu.cli.common import load_run_config
+    cfg = load_run_config(osp.join(os.environ.get("PWD", "."), args.ckpts))
     if args.synthetic:
         events = synthetic_events(args.synthetic, seed=42)
         loaders = fetch_dataloader(events=events, batch_size=args.batch_size,

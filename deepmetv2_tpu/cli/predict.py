@@ -47,7 +47,8 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
-    cfg = Config()
+    from deepmetv2_tpu.cli.common import load_run_config
+    cfg = load_run_config(osp.join(os.environ.get("PWD", "."), args.ckpts))
     if args.synthetic:
         events = synthetic_events(args.synthetic, seed=42)
         loaders = fetch_dataloader(events=events,

@@ -140,17 +140,19 @@ def fit(
     if primary:
         os.makedirs(ckpt_dir, exist_ok=True)
     if mesh is not None:
-        if model == "drn":
-            raise NotImplementedError(
-                "mesh training is wired for the flagship model; train the "
-                "DRN single-device (6.8k params) or via parallel.dp "
-                "directly")
         from deepmetv2_tpu.parallel.dp import (make_dp_eval_step,
-                                               make_dp_train_step)
+                                               make_dp_train_step,
+                                               make_drn_dp_eval_step,
+                                               make_drn_dp_train_step)
+        from deepmetv2_tpu.parallel.dyn import make_drn_ep_train_step
         from deepmetv2_tpu.parallel.ep import make_ep_train_step
         from deepmetv2_tpu.parallel.mesh import DATA_AXIS, shard_batch
-        raw_step = (make_ep_train_step(cfg, mesh) if shard_nodes
-                    else make_dp_train_step(cfg, mesh))
+        if model == "drn":
+            raw_step = (make_drn_ep_train_step(cfg, mesh) if shard_nodes
+                        else make_drn_dp_train_step(cfg, mesh))
+        else:
+            raw_step = (make_ep_train_step(cfg, mesh) if shard_nodes
+                        else make_dp_train_step(cfg, mesh))
 
         def train_step(state, batch):
             with mesh:
@@ -158,8 +160,13 @@ def fit(
                                 shard_batch(batch, mesh, shard_nodes))
 
         n_data = mesh.shape[DATA_AXIS]
-        raw_eval = make_dp_eval_step(cfg, mesh)
-        fallback_eval = make_eval_step(cfg)
+        if model == "drn":
+            from deepmetv2_tpu.train.step import make_drn_eval_step
+            raw_eval = make_drn_dp_eval_step(cfg, mesh)
+            fallback_eval = make_drn_eval_step(cfg)
+        else:
+            raw_eval = make_dp_eval_step(cfg, mesh)
+            fallback_eval = make_eval_step(cfg)
 
         # prefetch placements: stage batches pre-sharded so the steps'
         # internal shard_batch/device_put is a no-op

@@ -306,3 +306,28 @@ class TestShardedDynamicEdgeConv:
             sb = shard_batch(batch, mesh, shard_nodes=True)
             state, loss = make_drn_ep_train_step(cfg, mesh)(state, sb)
         assert np.isfinite(float(loss))
+
+
+class TestFitDRNMesh:
+    def test_fit_drn_dp_mesh(self, tmp_path):
+        """fit() trains + evaluates the DRN family over a dp mesh."""
+        import os.path as osp
+
+        from deepmetv2_tpu.config import Config, DataConfig, DRNConfig
+        from deepmetv2_tpu.data import fetch_dataloader
+        from deepmetv2_tpu.models.drn import drn_init
+        from deepmetv2_tpu.train.loop import fit
+        from deepmetv2_tpu.train.step import init_train_state
+
+        events = synthetic_events(16, seed=8, n_min=20, n_max=60)
+        loaders = fetch_dataloader(events=events, batch_size=4,
+                                   validation_split=0.25, buckets=(64,))
+        cfg = Config(drn=DRNConfig(hidden_dim=16, k=4, head="cartesian",
+                                   output_scale=100.0),
+                     data=DataConfig(batch_size=4, node_buckets=(64,)))
+        mesh = make_mesh(n_data=4, n_node=1)
+        state = init_train_state(*drn_init(jax.random.PRNGKey(6), cfg.drn),
+                                 cfg)
+        fit(state, cfg, loaders["train"], loaders["test"], str(tmp_path),
+            epochs=1, verbose=False, model="drn", mesh=mesh)
+        assert osp.exists(osp.join(str(tmp_path), "last.ckpt"))
