@@ -97,15 +97,24 @@ class PaddedLoader:
         bs = self.batch_size
         if self.mode == "sequential":
             return [self.indices[i:i + bs] for i in range(0, len(self.indices), bs)]
-        # Bucketed: group indices by event-size bucket, then chunk.
+        # Bucketed: group indices by event-size bucket, then chunk.  The
+        # per-bucket batch lists are interleaved round-robin (deterministic)
+        # rather than emitted bucket-by-bucket: a bucket-sorted epoch ends
+        # with BatchNorm running statistics biased toward the last bucket's
+        # event-size distribution, which makes eval losses erratic.
         by_bucket: Dict[int, List[int]] = {}
         for idx in self.indices:
             n = self.dataset[int(idx)][0].shape[0]
             by_bucket.setdefault(bucket_for(n, self.buckets), []).append(int(idx))
-        plans = []
+        per_bucket = []
         for _, idxs in sorted(by_bucket.items()):
-            for i in range(0, len(idxs), bs):
-                plans.append(np.asarray(idxs[i:i + bs], dtype=np.int64))
+            per_bucket.append([np.asarray(idxs[i:i + bs], dtype=np.int64)
+                               for i in range(0, len(idxs), bs)])
+        plans = []
+        for i in range(max(len(p) for p in per_bucket) if per_bucket else 0):
+            for p in per_bucket:
+                if i < len(p):
+                    plans.append(p[i])
         return plans
 
     def __len__(self) -> int:

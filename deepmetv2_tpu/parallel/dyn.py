@@ -33,7 +33,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from deepmetv2_tpu.config import Config, DRNConfig
 from deepmetv2_tpu.data.batching import EventBatch, Neighborhood
-from deepmetv2_tpu.parallel.knn import knn_graph_sharded
+from deepmetv2_tpu.parallel.knn import (knn_graph_sharded,
+                                        knn_graph_sharded_ring)
 from deepmetv2_tpu.parallel.mesh import DATA_AXIS, NODE_AXIS
 
 
@@ -63,8 +64,15 @@ def gather_neighbors_sharded(
     )(x, nbr.idx)
 
 
+def _knn_fn(cfg: DRNConfig, mesh: Mesh, ring: bool):
+    """``ring=True`` swaps in the ring-pipelined top-k (O(n_loc) per-chip
+    memory, for events larger than one chip); both are exact."""
+    build = knn_graph_sharded_ring if ring else knn_graph_sharded
+    return lambda h, m: build(h, m, k=cfg.k, mesh=mesh)
+
+
 def drn_apply_sharded(params, state, x, mask, train: bool, cfg: DRNConfig,
-                      mesh: Mesh):
+                      mesh: Mesh, ring: bool = False):
     """Node-sharded DynamicReductionNetwork forward (see module docstring).
     Call under ``jit`` with the node axis of ``x``/``mask`` sharded over
     ``mesh[NODE_AXIS]`` (parallel.mesh.batch_sharding(shard_nodes=True))."""
@@ -72,19 +80,19 @@ def drn_apply_sharded(params, state, x, mask, train: bool, cfg: DRNConfig,
 
     return drn_apply(
         params, state, x, mask, train, cfg,
-        knn_fn=lambda h, m: knn_graph_sharded(h, m, k=cfg.k, mesh=mesh),
+        knn_fn=_knn_fn(cfg, mesh, ring),
         gather_fn=functools.partial(gather_neighbors_sharded, mesh=mesh),
     )
 
 
 def drn_net_apply_sharded(params, state, batch: EventBatch, train: bool,
-                          cfg: DRNConfig, mesh: Mesh):
+                          cfg: DRNConfig, mesh: Mesh, ring: bool = False):
     """Node-sharded DRN forward with the output head applied."""
     from deepmetv2_tpu.models.drn import drn_net_apply
 
     return drn_net_apply(
         params, state, batch, train, cfg,
-        knn_fn=lambda h, m: knn_graph_sharded(h, m, k=cfg.k, mesh=mesh),
+        knn_fn=_knn_fn(cfg, mesh, ring),
         gather_fn=functools.partial(gather_neighbors_sharded, mesh=mesh),
     )
 

@@ -331,3 +331,49 @@ class TestFitDRNMesh:
         fit(state, cfg, loaders["train"], loaders["test"], str(tmp_path),
             epochs=1, verbose=False, model="drn", mesh=mesh)
         assert osp.exists(osp.join(str(tmp_path), "last.ckpt"))
+
+
+class TestRingKNN:
+    """Ring-pipelined distributed kNN: exact vs the single-device build,
+    O(n_loc) memory — the scaling path for events larger than one chip."""
+
+    def test_matches_single_device(self):
+        from deepmetv2_tpu.ops.graph import knn_graph
+        from deepmetv2_tpu.parallel.knn import knn_graph_sharded_ring
+        from deepmetv2_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(2)
+        B, N, D, k = 4, 64, 8, 5
+        x = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+        mask = jnp.asarray(rng.random((B, N)) < 0.9)
+
+        ref = knn_graph(x, mask, k=k)
+        mesh = make_mesh(n_data=2, n_node=4)
+        with mesh:
+            got = jax.jit(
+                lambda x, m: knn_graph_sharded_ring(x, m, k=k, mesh=mesh)
+            )(x, mask)
+
+        np.testing.assert_array_equal(np.asarray(ref.mask),
+                                      np.asarray(got.mask))
+        ri = np.where(np.asarray(ref.mask), np.asarray(ref.idx), 1 << 20)
+        gi = np.where(np.asarray(got.mask), np.asarray(got.idx), 1 << 20)
+        np.testing.assert_array_equal(np.sort(ri, axis=-1),
+                                      np.sort(gi, axis=-1))
+
+    def test_loop_true_includes_self(self):
+        from deepmetv2_tpu.parallel.knn import knn_graph_sharded_ring
+        from deepmetv2_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, 32, 4)).astype(np.float32))
+        mask = jnp.ones((2, 32), bool)
+        mesh = make_mesh(n_data=2, n_node=4)
+        with mesh:
+            got = jax.jit(lambda x, m: knn_graph_sharded_ring(
+                x, m, k=3, mesh=mesh, loop=True))(x, mask)
+        # self-distance is 0 -> self must be among the 3 nearest
+        idx = np.asarray(got.idx)
+        for b in range(2):
+            for i in range(32):
+                assert i in idx[b, i]
