@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grad_clip", type=float, default=None,
                    help="global-norm gradient clipping (default: off, "
                         "matching the reference)")
+    p.add_argument("--bn_refresh", type=int, default=None, metavar="M",
+                   help="precise-BN: refresh BatchNorm running stats with M "
+                        "training batches before each validation pass "
+                        "(default: off; recommended ~30 for --model drn)")
     p.add_argument("--mode", choices=["sequential", "bucketed"],
                    default="sequential", help="batching mode")
     p.add_argument("--graph_mode", choices=["window", "neighbor_list"],
@@ -105,6 +109,10 @@ def main(argv=None) -> int:
     if args.epochs is not None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, epochs=args.epochs))
+    if args.bn_refresh is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, bn_refresh_batches=args.bn_refresh))
     drn_over = {}
     if args.drn_aggr is not None:
         drn_over["aggr"] = args.drn_aggr

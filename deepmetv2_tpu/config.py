@@ -109,6 +109,13 @@ class DataConfig:
 class TrainConfig:
     epochs: int = 100                    # reference train.py:100 (range 1..101)
     eval_batch_size: int = 40            # reference evaluate.py:176
+    # "Precise BN": before each validation pass, re-estimate BatchNorm
+    # running statistics with N forward passes over training batches
+    # (params untouched).  0 = off (reference parity).  Matters for the
+    # DRN, whose BatchNorm runs over *edge messages* of per-round dynamic
+    # graphs — a distribution that shifts too fast for momentum-0.1
+    # running stats, making raw eval losses erratic.
+    bn_refresh_batches: int = 0
     qt_max: float = 400.0                # evaluate.py:111-112
     qt_bin_width: float = 10.0
     qt_hist_bins: int = 40

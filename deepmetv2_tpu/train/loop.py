@@ -232,6 +232,7 @@ def fit(
         loss_log.flush()
 
     n_epochs = epochs if epochs is not None else cfg.train.epochs
+    refresh_step = None
     for epoch in range(first_epoch + 1, n_epochs + 1):
         if verbose:
             print(f"Current best loss: {best_validation_loss}")
@@ -240,6 +241,19 @@ def fit(
         state, train_loss = train_one_epoch(state, train_step, train_loader,
                                             epoch, verbose=verbose,
                                             place=train_place)
+
+        if cfg.train.bn_refresh_batches > 0:
+            # precise-BN: re-estimate running statistics under the CURRENT
+            # parameters before validating (see TrainConfig.bn_refresh_batches)
+            if refresh_step is None:
+                from deepmetv2_tpu.train.step import make_bn_refresh_step
+                refresh_step = make_bn_refresh_step(cfg, model)
+            bn = state.bn_state
+            for i, rb in enumerate(train_loader):
+                if i >= cfg.train.bn_refresh_batches:
+                    break
+                bn = refresh_step(state.params, bn, rb)
+            state = state._replace(bn_state=bn)
         new_lr = scheduler.step(train_loss)        # reference train.py:58
         state = set_learning_rate(state, new_lr)
 

@@ -164,6 +164,29 @@ def make_eval_step(cfg: Config):
     return jax.jit(eval_step_body(cfg))
 
 
+def make_bn_refresh_step(cfg: Config, model: str = "graphmet"):
+    """One "precise-BN" pass: forward with train=True batch statistics,
+    returning only the updated BatchNorm state (parameters untouched).
+    Used by fit() before validation when cfg.train.bn_refresh_batches > 0."""
+    if model == "drn":
+        from deepmetv2_tpu.models.drn import drn_net_apply
+
+        @jax.jit
+        def refresh(params, bn_state, batch: EventBatch):
+            _, new_bn = drn_net_apply(params, bn_state, batch, train=True,
+                                      cfg=cfg.drn)
+            return new_bn
+    else:
+        @jax.jit
+        def refresh(params, bn_state, batch: EventBatch):
+            gbatch, nbr = build_graph(batch, cfg)
+            _, new_bn = net_apply(params, bn_state, gbatch, nbr, train=True,
+                                  cfg=cfg.model)
+            return new_bn
+
+    return refresh
+
+
 def make_drn_train_step(cfg: Config):
     """Train step for the DynamicReductionNetwork family.  No radius graph
     is built — the DRN rebuilds feature-space kNN graphs internally per

@@ -245,3 +245,30 @@ class TestDRNTraining:
             assert osp.exists(osp.join(str(tmp_path), f)), f
         res = artifacts.load(osp.join(str(tmp_path), "best.resolutions"))
         assert "MET" in res
+
+
+class TestBNRefresh:
+    def test_refresh_updates_only_bn(self, tmp_path):
+        """Precise-BN pass before eval: bn stats change, params don't."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from deepmetv2_tpu.config import Config, DataConfig, GraphConfig
+        from deepmetv2_tpu.data import fetch_dataloader, synthetic_events
+        from deepmetv2_tpu.models import graph_met_init
+        from deepmetv2_tpu.train.loop import fit
+        from deepmetv2_tpu.train.step import init_train_state
+
+        events = synthetic_events(8, seed=21, n_min=20, n_max=60)
+        loaders = fetch_dataloader(events=events, batch_size=4,
+                                   validation_split=0.25, buckets=(64,))
+        cfg = Config(graph=GraphConfig(max_neighbors=16),
+                     data=DataConfig(batch_size=4, node_buckets=(64,)))
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, bn_refresh_batches=2))
+        state = init_train_state(*graph_met_init(jax.random.PRNGKey(0)), cfg)
+        out = fit(state, cfg, loaders["train"], loaders["test"],
+                  str(tmp_path), epochs=1, verbose=False)
+        assert int(jax.tree_util.tree_leaves(out.bn_state)[-1].sum()) != 0
