@@ -165,14 +165,8 @@ def _numerics_gate(interpret: bool) -> dict:
         phi = rng.uniform(-np.pi, np.pi, (b, n)).astype(np.float32)
         n_valid = rng.integers(max(2, n - n // 4), n + 1, size=b)
         mask = np.arange(n)[None, :] < n_valid[:, None]
-        # smallest exact halo for this eta draw
-        halo = 0
-        for i in range(b):
-            e = eta[i][mask[i]]
-            lo = np.searchsorted(e, e - R)
-            hi = np.searchsorted(e, e + R, side="right")
-            idx = np.arange(len(e))
-            halo = max(halo, int(np.max(idx - lo)), int(np.max(hi - 1 - idx)))
+        from deepmetv2_tpu.data.sorting import required_halo_arrays
+        halo = required_halo_arrays(eta, mask, R)
         g = WindowGraph(jnp.asarray(np.stack([eta, phi], -1)),
                         jnp.asarray(mask), r=R, halo=halo)
         x = jnp.asarray(rng.normal(size=(b, n, h)).astype(np.float32))

@@ -10,19 +10,23 @@ from deepmetv2_tpu.config import Config
 def load_run_config(ckpt_dir: str) -> Config:
     """Defaults with the MODEL-SEMANTIC sections of the run's resolved
     config (fit writes config.json next to the checkpoints) grafted in:
-    model / drn / graph determine how a checkpoint must be interpreted
-    (e.g. DRN head, aggregation, output scale, graph metric), while data /
-    train sections describe the TRAINING run's inputs and must not leak
-    into whatever dataset this CLI is pointed at."""
+    model / drn determine how a checkpoint must be interpreted (hidden
+    dims, DRN head, aggregation, output scale).  Graph construction and
+    data sections are NOT grafted — they describe the training run's
+    dataset (e.g. a window halo sized for it) and are re-derived by each
+    CLI from its own input and flags."""
     import dataclasses
+    import sys
 
     path = osp.join(ckpt_dir, "config.json")
     if not osp.exists(path):
+        print(f"note: no {path}; interpreting the checkpoint with DEFAULT "
+              "model hyperparameters (a DRN trained with a non-default "
+              "head/aggr/output_scale would be misread)", file=sys.stderr)
         return Config()
     with open(path) as f:
         run = Config.from_json(f.read())
-    return dataclasses.replace(Config(), model=run.model, drn=run.drn,
-                               graph=run.graph)
+    return dataclasses.replace(Config(), model=run.model, drn=run.drn)
 
 
 def load_model_for_eval(args, cfg: Config, ckpt_dir: str):

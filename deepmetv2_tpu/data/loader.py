@@ -152,7 +152,7 @@ def prefetch_to_device(it, size: int = 2, place=None):
     q = collections.deque()
     for b in it:
         q.append(place(b))
-        if len(q) > size:
+        if len(q) >= size:
             yield q.popleft()
     while q:
         yield q.popleft()

@@ -49,6 +49,27 @@ def sort_by_eta(batch: EventBatch) -> Tuple[EventBatch, jnp.ndarray]:
     return out, perm
 
 
+def required_halo_arrays(eta, mask, r: float) -> int:
+    """Smallest halo H such that, in the eta-sorted order, every pair with
+    |Δeta| < r is within H index positions.  ``eta``/``mask``: [B, N]
+    host arrays.  The single halo-adequacy rule — every sizing path
+    (batch, raw events, bench gates) goes through here."""
+    import numpy as np
+
+    eta = np.asarray(eta)
+    mask = np.asarray(mask)
+    worst = 0
+    for b in range(eta.shape[0]):
+        e = np.sort(eta[b][mask[b]].astype(np.float64))
+        if len(e) == 0:
+            continue
+        lo = np.searchsorted(e, e - r, side="left")
+        hi = np.searchsorted(e, e + r, side="right")
+        idx = np.arange(len(e))
+        worst = max(worst, int(np.max(idx - lo)), int(np.max(hi - 1 - idx)))
+    return worst
+
+
 def required_halo_events(events, r: float) -> int:
     """``required_halo`` over raw ``(x, y)`` event tuples (x ``[N, 11]`` in
     reference feature order, eta at column 3) — lets a driver size the
@@ -57,31 +78,15 @@ def required_halo_events(events, r: float) -> int:
 
     worst = 0
     for x, _ in events:
-        e = np.sort(np.asarray(x[:, 3], dtype=np.float64))
-        if len(e) == 0:
-            continue
-        lo = np.searchsorted(e, e - r, side="left")
-        hi = np.searchsorted(e, e + r, side="right")
-        idx = np.arange(len(e))
-        worst = max(worst, int(np.max(idx - lo)), int(np.max(hi - 1 - idx)))
+        e = np.asarray(x[:, 3])[None, :]
+        worst = max(worst, required_halo_arrays(
+            e, np.ones_like(e, dtype=bool), r))
     return worst
 
 
 def required_halo(batch: EventBatch, r: float) -> int:
-    """Smallest halo H such that, in the eta-sorted order, every pair with
-    |Δeta| < r is within H index positions.  Host-side (concrete) helper
-    used to pick the compiled window size."""
+    """Smallest halo for a collated EventBatch (see required_halo_arrays)."""
     import numpy as np
 
-    eta = np.asarray(batch.x_cont[..., 3])
-    mask = np.asarray(batch.mask)
-    worst = 0
-    for b in range(eta.shape[0]):
-        e = np.sort(eta[b][mask[b]])
-        if len(e) == 0:
-            continue
-        lo = np.searchsorted(e, e - r, side="left")
-        hi = np.searchsorted(e, e + r, side="right")
-        idx = np.arange(len(e))
-        worst = max(worst, int(np.max(idx - lo)), int(np.max(hi - 1 - idx)))
-    return worst
+    return required_halo_arrays(np.asarray(batch.x_cont[..., 3]),
+                                np.asarray(batch.mask), r)

@@ -85,7 +85,7 @@ def edgeconv(
                 x, graph, weight, bias, mesh=ctx.mesh,
                 node_axis=ctx.node_axis, data_axis=ctx.data_axis,
                 interpret=ctx.interpret)
-        if reduction == "max" and _on_tpu():
+        if reduction == "max" and _on_tpu() and not pctx.xla_window_forced():
             from deepmetv2_tpu.ops.pallas.edgeconv_window import (
                 window_edgeconv_linear_pallas,
             )

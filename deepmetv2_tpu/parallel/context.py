@@ -43,3 +43,24 @@ def edge_partitioning(mesh: Mesh, node_axis: str = "node",
         yield _TLS.ctx
     finally:
         _TLS.ctx = prev
+
+
+def xla_window_forced() -> bool:
+    return getattr(_TLS, "xla_window", False)
+
+
+@contextlib.contextmanager
+def force_xla_window():
+    """While tracing a GSPMD-sharded program (jit with in_shardings, e.g.
+    the data-parallel train/eval steps), WindowGraph aggregation must use
+    the XLA window formulation: ``pallas_call`` has no SPMD partitioning
+    rule, so a sharded-operand trace would fail to partition (or silently
+    replicate) the kernel.  Dense XLA partitions along the batch axis for
+    free.  (Recovering the Pallas kernel under dp means wrapping it in a
+    shard_map over the data axis — future work.)"""
+    prev = xla_window_forced()
+    _TLS.xla_window = True
+    try:
+        yield
+    finally:
+        _TLS.xla_window = prev

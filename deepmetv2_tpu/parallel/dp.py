@@ -34,15 +34,20 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, shard_nodes: bool = False):
     bsh = batch_sharding(mesh, shard_nodes=shard_nodes)
 
     def step(state: TrainState, batch: EventBatch) -> Tuple[TrainState, jax.Array]:
-        batch, nbr = build_graph(batch, cfg)
+        from deepmetv2_tpu.parallel import context as pctx
 
-        def objective(params):
-            w, new_bn = net_apply(params, state.bn_state, batch, nbr,
-                                  train=True, cfg=cfg.model)
-            return loss_fn(w, batch), new_bn
+        # GSPMD-sharded trace: WindowGraph aggregation must take the XLA
+        # window formulation (pallas_call has no SPMD partitioning rule)
+        with pctx.force_xla_window():
+            batch, nbr = build_graph(batch, cfg)
 
-        (loss, new_bn), grads = jax.value_and_grad(objective, has_aux=True)(
-            state.params)
+            def objective(params):
+                w, new_bn = net_apply(params, state.bn_state, batch, nbr,
+                                      train=True, cfg=cfg.model)
+                return loss_fn(w, batch), new_bn
+
+            (loss, new_bn), grads = jax.value_and_grad(
+                objective, has_aux=True)(state.params)
         updates, new_opt = opt.update(grads, state.opt_state, state.params)
         import optax
         new_params = optax.apply_updates(state.params, updates)
@@ -70,9 +75,15 @@ def make_dp_eval_step(cfg: Config, mesh: Mesh):
     out_sh = (NamedSharding(mesh, P(DATA_AXIS, None)),   # weights [B, N]
               rep,                                        # loss
               NamedSharding(mesh, P(DATA_AXIS)))          # edges [B]
-    return jax.jit(eval_step_body(cfg),
-                   in_shardings=(rep, rep, bsh),
-                   out_shardings=out_sh)
+    body = eval_step_body(cfg)
+
+    def step(params, bn_state, batch):
+        from deepmetv2_tpu.parallel import context as pctx
+
+        with pctx.force_xla_window():   # see make_dp_train_step
+            return body(params, bn_state, batch)
+
+    return jax.jit(step, in_shardings=(rep, rep, bsh), out_shardings=out_sh)
 
 
 def make_drn_dp_eval_step(cfg: Config, mesh: Mesh):
