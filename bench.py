@@ -17,6 +17,17 @@ implemented in XLA on the same hardware, same graph, same numerics.  The
 reference repo publishes no throughput numbers (BASELINE.md), so its own
 algorithmic structure is the baseline.
 
+Timing methodology (slope method): this chip is reached through a remote
+tunnel where per-call dispatch costs ~1 ms, a result fetch ~20 ms, and
+``block_until_ready`` returns at *enqueue*, not completion — naive
+wall-clock timing measures the tunnel, not the device (verified: it
+reports impossible numbers like 36 PFLOP/s for an 8192^3 matmul).  Every
+kernel/step number here therefore chains K iterations of the op inside ONE
+compiled program (lax.scan, data-dependent carry so nothing can be elided),
+forces completion by fetching a leaf of the result, and reports the slope
+(t(K2) - t(K1)) / (K2 - K1) — fixed dispatch+fetch latency cancels, leaving
+steady-state per-iteration device time.
+
 Extras:
   * ``numerics``  — real-hardware parity gate: the Pallas kernel's forward
     and gradients vs the XLA window formulation (ops/window.py), three
@@ -28,6 +39,9 @@ Extras:
   * ``train_step_*`` / ``inference_*`` — whole-pipeline numbers for the
     flagship model (graph build + fwd [+ loss + bwd + AdamW] as one XLA
     program; reference per-step pipeline train.py:39-54).
+  * ``epoch_feed_*`` — end-to-end feed-pipeline wall-clock (sync vs
+    double-buffered prefetch); these DO include tunnel dispatch, since
+    that is what a feed pipeline experiences.
 """
 
 from __future__ import annotations
@@ -48,8 +62,12 @@ from deepmetv2_tpu.ops.window import WindowGraph, window_edgeconv_linear
 
 # Headline config: reference-scale bucketed batch (~2k candidates, dR=0.4).
 B, N, H, K, R = 8, 2048, 32, 256, 0.4
-WARMUP, ITERS = 5, 30
-REPEATS = 4  # take the min: the axon tunnel adds sporadic multi-ms stalls
+REPS = 3           # min over REPS timed runs per chain length
+# Chain lengths (K1, K2): the K2-K1 spread must put >= ~10 ms of device
+# work between the two runs, or the tunnel's ±2 ms fetch jitter swamps the
+# slope (sub-ms kernels need a wide spread).
+K_FAST = (10, 60)  # fast ops (sub-ms to few-ms per iteration)
+K_SLOW = (2, 6)    # slow ops (the reference-design baseline, ~80 ms/iter)
 
 # Sweep configs (VERDICT r1 #6): N x H grid, each timed at its best
 # (tile, wchunk) out of CANDIDATES.  Sweep timing is lighter than the
@@ -57,7 +75,7 @@ REPEATS = 4  # take the min: the axon tunnel adds sporadic multi-ms stalls
 SWEEP_SHAPES = [(8, 512, 32), (8, 2048, 32), (8, 8192, 32),
                 (8, 512, 64), (8, 2048, 64), (8, 8192, 64)]
 CANDIDATES = [(16, 16), (32, 32)]  # (tile, wchunk)
-SWEEP_ITERS, SWEEP_REPEATS = 10, 2
+K_SWEEP = (5, 45)
 
 
 def _naive_edgeconv(x, nbr, w, b):
@@ -73,25 +91,42 @@ def _naive_edgeconv(x, nbr, w, b):
     return jnp.where(jnp.any(nbr.mask, axis=-1, keepdims=True), out, 0.0)
 
 
-def _time(fn, *args, iters=ITERS, repeats=REPEATS, warmup=WARMUP) -> float:
-    out = fn(*args)
-    jax.block_until_ready(out)
-    for _ in range(warmup - 1):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+def _fetch(tree) -> None:
+    """Force completion of a whole computation by pulling one leaf to the
+    host (block_until_ready returns at enqueue through the axon tunnel)."""
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    np.asarray(jax.device_get(leaf))
 
 
-def _grad_of(fn):
-    return jax.jit(jax.value_and_grad(
-        lambda x, w: jnp.sum(fn(x, w) ** 2), argnums=(0, 1)))
+def _slope_time(body, carry, ks=K_FAST, reps=REPS) -> float:
+    """Per-iteration device time of ``body`` (a lax.scan step fn) via the
+    slope between two chain lengths — see module docstring."""
+    def run(k):
+        f = jax.jit(lambda c: jax.lax.scan(body, c, None, length=k)[0])
+        out = f(carry)
+        _fetch(out)                              # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _fetch(f(carry))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k1, k2 = ks
+    t1, t2 = run(k1), run(k2)
+    return max((t2 - t1) / (k2 - k1), 1e-9)
+
+
+def _grad_chain(fn):
+    """scan body: one fwd+bwd of ``fn(x, w)``; the carry folds a vanishing
+    multiple of the grads back into (x, w) so iterations chain and nothing
+    can be hoisted out of the loop."""
+    def body(carry, _):
+        x, w = carry
+        _, (dx, dw) = jax.value_and_grad(
+            lambda x, w: jnp.sum(fn(x, w) ** 2), argnums=(0, 1))(x, w)
+        return (x + 1e-12 * dx, w + 1e-12 * dw), None
+    return body
 
 
 def _make_graph_inputs(b, n, h, seed):
@@ -157,6 +192,10 @@ def _numerics_gate(interpret: bool) -> dict:
         window_edgeconv_linear_pallas,
     )
 
+    def _grad_of(fn):
+        return jax.jit(jax.value_and_grad(
+            lambda x, w: jnp.sum(fn(x, w) ** 2), argnums=(0, 1)))
+
     checks, ok = [], True
     for s in shapes:
         b, n, h = s["B"], s["N"], s["H"]
@@ -214,19 +253,18 @@ def _sweep(on_tpu: bool) -> list:
         best = None
         if on_tpu:
             for (tile, wchunk) in CANDIDATES:
-                fn = _grad_of(lambda x, w, t=tile, wc=wchunk:
-                              kernel_fn(x, g, w, bias, tile=t, wchunk=wc))
-                t = _time(fn, x, w, iters=SWEEP_ITERS,
-                          repeats=SWEEP_REPEATS, warmup=3)
+                body = _grad_chain(lambda x, w, t=tile, wc=wchunk:
+                                   kernel_fn(x, g, w, bias, tile=t, wchunk=wc))
+                t = _slope_time(body, (x, w), ks=K_SWEEP, reps=2)
                 if best is None or t < best["ms"] * 1e-3:
                     gbytes = _kernel_bytes(b, n, h, halo, tile, wchunk)
                     best = {"tile": tile, "wchunk": wchunk, "ms": t * 1e3,
                             "model_GB": gbytes / 1e9,
                             "model_GBps": gbytes / t / 1e9}
         else:
-            fn = _grad_of(lambda x, w: window_edgeconv_linear(x, g, w, bias))
-            t = _time(fn, x, w, iters=SWEEP_ITERS, repeats=SWEEP_REPEATS,
-                      warmup=3)
+            body = _grad_chain(
+                lambda x, w: window_edgeconv_linear(x, g, w, bias))
+            t = _slope_time(body, (x, w), ks=K_SWEEP, reps=2)
             best = {"tile": None, "wchunk": None, "ms": t * 1e3}
         rows.append({"B": b, "N": n, "H": h, "halo": halo,
                      "true_edges": edges,
@@ -250,16 +288,17 @@ def main() -> None:
         from deepmetv2_tpu.ops.pallas.edgeconv_window import (
             window_edgeconv_linear_pallas,
         )
-        fast = _grad_of(lambda x, w: window_edgeconv_linear_pallas(
-            x, g, w, bias))
+        fast_fn = lambda x, w: window_edgeconv_linear_pallas(x, g, w, bias)
     else:
-        fast = _grad_of(lambda x, w: window_edgeconv_linear(x, g, w, bias))
+        fast_fn = lambda x, w: window_edgeconv_linear(x, g, w, bias)
 
-    t_fast = _time(fast, x, w)
-    naive = _grad_of(lambda x, w: _naive_edgeconv(x, nbr, w, bias))
-    t_naive = _time(naive, x, w)
-    factored = _grad_of(lambda x, w: edgeconv_linear(x, nbr, w, bias, "max"))
-    t_factored = _time(factored, x, w)
+    t_fast = _slope_time(_grad_chain(fast_fn), (x, w))
+    t_naive = _slope_time(
+        _grad_chain(lambda x, w: _naive_edgeconv(x, nbr, w, bias)),
+        (x, w), ks=K_SLOW)
+    t_factored = _slope_time(
+        _grad_chain(lambda x, w: edgeconv_linear(x, nbr, w, bias, "max")),
+        (x, w), ks=K_SLOW)
 
     sweep = _sweep(on_tpu)
 
@@ -270,40 +309,43 @@ def main() -> None:
     from deepmetv2_tpu.models import graph_met_init
     from deepmetv2_tpu.train.step import init_train_state, make_train_step
 
+    import dataclasses
+
     halo_c = max(64, -(-halo // 64) * 64)
     cfg = Config(graph=GraphConfig(mode="window", window_halo=halo_c),
                  data=DataConfig(batch_size=B, node_buckets=(N,)))
+    cfg_pre = dataclasses.replace(
+        cfg, graph=dataclasses.replace(cfg.graph, presorted=True))
     params, bn = graph_met_init(jax.random.PRNGKey(0))
-    state = init_train_state(params, bn, cfg)
-    step = make_train_step(cfg)
+    dbatch = jax.device_put(batch)    # already eta-sorted (bench inputs)
 
-    # Inference throughput (serving path): jitted forward + loss, no grad.
-    # MUST run before the train-step timing: train_step donates its state,
-    # whose leaves alias these params/bn buffers (donation deletes them).
+    def step_chain(c):
+        """Per-step device time of the full train step (graph build + fwd +
+        loss + bwd + AdamW as one program), state chained through scan."""
+        step = make_train_step(c)
+        state = init_train_state(*graph_met_init(jax.random.PRNGKey(0)), c)
+        return _slope_time(lambda s, _: (step(s, dbatch)[0], None), state)
+
+    t_step = step_chain(cfg)            # includes the per-step argsort
+    t_step_pre = step_chain(cfg_pre)    # loader presorted: argsort-free
+
+    # Inference (serving path): jitted forward + loss, no grad; chained by
+    # folding a vanishing multiple of the loss into the params.
     from deepmetv2_tpu.train.step import make_eval_step
 
     eval_step = make_eval_step(cfg)
-    t_infer = _time(lambda: eval_step(params, bn, batch))
 
-    def time_steps(step, state, iters):
-        s, loss = step(state, batch)          # compile + warmup
-        for _ in range(2):
-            s, loss = step(s, batch)
-        jax.block_until_ready(loss)
-        best = float("inf")
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                s, loss = step(s, batch)
-            jax.block_until_ready(loss)
-            best = min(best, (time.perf_counter() - t0) / iters)
-        return best
+    def infer_body(p, _):
+        _, loss, _ = eval_step(p, bn, dbatch)
+        return jax.tree_util.tree_map(lambda a: a + 1e-18 * loss, p), None
 
-    t_step = time_steps(step, state, ITERS)
+    t_infer = _slope_time(infer_body, params)
 
     # Loader-fed epoch throughput: synchronous host feed vs the
     # double-buffered prefetch_to_device staging (VERDICT r1 #7).  Same
-    # cached host batches, same train step; only the feed differs.
+    # memoized HOST-side batches, same train step; only the feed differs.
+    # These are wall-clock end-to-end numbers and include tunnel dispatch —
+    # that is what a feed pipeline experiences.
     from deepmetv2_tpu.data import fetch_dataloader
     from deepmetv2_tpu.data.loader import prefetch_to_device
 
@@ -312,8 +354,8 @@ def main() -> None:
         batch_size=B, validation_split=0.0, buckets=(N,))["train"]
     list(ld)  # build the host-side collation cache
 
-    params2, bn2 = graph_met_init(jax.random.PRNGKey(1))
-    stt = init_train_state(params2, bn2, cfg)
+    step = make_train_step(cfg)
+    stt = init_train_state(*graph_met_init(jax.random.PRNGKey(1)), cfg)
 
     def time_epoch(make_feed, stt, reps=3):
         best = float("inf")
@@ -321,7 +363,7 @@ def main() -> None:
             t0 = time.perf_counter()
             for b in make_feed():
                 stt, loss = step(stt, b)
-            jax.block_until_ready(loss)
+            _fetch(loss)                    # force completion
             best = min(best, time.perf_counter() - t0)
         return best, stt
 
@@ -343,7 +385,8 @@ def main() -> None:
             "factored_nbrlist_ms": t_factored * 1e3,
             "sweep": sweep,
             "train_step_window_ms": t_step * 1e3,
-            "train_step_events_per_s": B / t_step,
+            "train_step_presorted_ms": t_step_pre * 1e3,
+            "train_step_events_per_s": B / t_step_pre,
             "epoch_feed_sync_events_per_s": n_ev / t_sync,
             "epoch_feed_prefetch_events_per_s": n_ev / t_pref,
             "prefetch_speedup": t_sync / t_pref,

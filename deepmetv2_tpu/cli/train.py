@@ -76,10 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def apply_graph_mode(cfg: Config, args, all_events) -> Config:
+def apply_graph_mode(cfg: Config, args, all_events,
+                     presorted: bool = False) -> Config:
     """Resolve --graph_mode into the config; in window mode, size the
     compiled halo from the data (max sorted-order neighbor span, rounded up
-    to the 64-row DMA grid)."""
+    to the 64-row DMA grid).  ``presorted=True`` only when the caller's
+    loaders were built with ``presort_eta=True`` — it makes the compiled
+    steps trust the batch order and skip their device argsort."""
     from deepmetv2_tpu.config import GraphConfig
     from deepmetv2_tpu.data.sorting import required_halo_events
 
@@ -89,7 +92,8 @@ def apply_graph_mode(cfg: Config, args, all_events) -> Config:
     halo = max(64, -(-halo // 64) * 64)
     return dataclasses.replace(
         cfg, graph=dataclasses.replace(cfg.graph, mode="window",
-                                       window_halo=halo))
+                                       window_halo=halo,
+                                       presorted=presorted))
 
 
 def main(argv=None) -> int:
@@ -122,20 +126,27 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(
             cfg, drn=dataclasses.replace(cfg.drn, **drn_over))
 
+    # Window mode: the loader pre-sorts by eta on the host once per batch
+    # (memoized) and apply_graph_mode marks the config presorted, so the
+    # compiled steps never run a device argsort.
+    presort = args.graph_mode == "window" and args.model != "drn"
     if args.synthetic:
         events = synthetic_events(args.synthetic, seed=42)
         loaders = fetch_dataloader(
             events=events, batch_size=cfg.data.batch_size,
             validation_split=cfg.data.validation_split,
-            buckets=cfg.data.node_buckets, mode=args.mode)
+            buckets=cfg.data.node_buckets, mode=args.mode,
+            presort_eta=presort)
     else:
         data_dir = osp.join(os.environ.get("PWD", "."), args.data)
         loaders = fetch_dataloader(
             data_dir=data_dir, batch_size=cfg.data.batch_size,
             validation_split=cfg.data.validation_split,
-            buckets=cfg.data.node_buckets, mode=args.mode)
+            buckets=cfg.data.node_buckets, mode=args.mode,
+            presort_eta=presort)
 
-    cfg = apply_graph_mode(cfg, args, loaders["train"].dataset)
+    cfg = apply_graph_mode(cfg, args, loaders["train"].dataset,
+                           presorted=presort)
     print(len(loaders["train"]), len(loaders["test"]))
     if cfg.graph.mode == "window":
         print(f"graph mode: window (halo {cfg.graph.window_halo})")

@@ -29,6 +29,11 @@ class GraphConfig:
     # sorted-order neighbor span, see data/sorting.required_halo).
     mode: str = "neighbor_list"
     window_halo: int = 128
+    # Batches arrive already eta-sorted (loader presort_eta=True): the
+    # compiled steps skip the per-step device argsort entirely.  Only set
+    # together with a presorting loader — window mode silently computes
+    # wrong adjacencies on unsorted input.
+    presorted: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

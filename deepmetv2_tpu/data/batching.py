@@ -128,10 +128,15 @@ def collate(
         ys[b, : yv.shape[0]] = yv
         nv[b] = n
 
+    # Host (numpy) arrays by design: loaders memoize collated batches, and a
+    # host-resident cache (a) never pins the dataset in HBM and (b) gives
+    # prefetch_to_device a real H2D copy to overlap with compute.  jit calls
+    # convert on entry; explicit placement is the feed's job
+    # (data/loader.prefetch_to_device, parallel/mesh.shard_batch).
     return EventBatch(
-        x_cont=jnp.asarray(x_cont),
-        x_cat=jnp.asarray(x_cat),
-        mask=jnp.asarray(mask),
-        y=jnp.asarray(ys),
-        num_valid=jnp.asarray(nv),
+        x_cont=x_cont,
+        x_cat=x_cat,
+        mask=mask,
+        y=ys,
+        num_valid=nv,
     )

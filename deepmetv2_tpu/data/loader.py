@@ -79,6 +79,7 @@ class PaddedLoader:
         mode: str = "sequential",
         pad_batches: bool = True,
         cache: bool = True,
+        presort_eta: bool = False,
     ):
         self.dataset = dataset
         self.indices = np.asarray(indices, dtype=np.int64)
@@ -87,6 +88,10 @@ class PaddedLoader:
         assert mode in ("sequential", "bucketed")
         self.mode = mode
         self.pad_batches = pad_batches
+        # Window-mode fast path: sort candidates by eta on the host at
+        # collation time (graph.presorted must be set so the compiled steps
+        # skip their device argsort — see train/step.build_graph).
+        self.presort_eta = presort_eta
         self._batches = self._plan()
         # The plan and padding are deterministic, so the collated batches
         # can be memoized: epoch 2+ replays pre-built host arrays with zero
@@ -129,6 +134,9 @@ class PaddedLoader:
         for batch_idx in self._batches:
             events = [self.dataset[int(i)] for i in batch_idx]
             b = collate(events, buckets=self.buckets, pad_events_to=pad_to)
+            if self.presort_eta:
+                from deepmetv2_tpu.data.sorting import presort_batch
+                b = presort_batch(b)
             built.append(b)
             yield b
         if self._cache is not None:      # publish only complete epochs
@@ -139,23 +147,28 @@ def prefetch_to_device(it, size: int = 2, place=None):
     """Double-buffered host→device feed (SURVEY.md §2b: "device resident,
     double-buffered host→device feed").
 
-    ``jax.device_put`` is asynchronous: staging batch i+1 while the step
-    for batch i executes overlaps the H2D transfer with compute, so the
-    accelerator never waits on the feed.  ``place`` overrides the
-    placement (e.g. ``shard_batch`` for mesh training — a later
-    ``device_put`` against the same shardings is then a no-op)."""
+    Placement runs on a worker thread: ``jax.device_put`` is nominally
+    asynchronous, but on remote-device backends (and for host numpy
+    sources, which must be serialized) it blocks the calling thread — an
+    inline deque would stage nothing.  The worker stages batch i+1 while
+    the main thread dispatches the step for batch i, so the accelerator
+    never waits on the feed.  ``place`` overrides the placement (e.g.
+    ``shard_batch`` for mesh training — a later ``device_put`` against the
+    same shardings is then a no-op)."""
     import collections
+    import concurrent.futures
 
     import jax
 
     place = place if place is not None else jax.device_put
     q = collections.deque()
-    for b in it:
-        q.append(place(b))
-        if len(q) >= size:
-            yield q.popleft()
-    while q:
-        yield q.popleft()
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+        for b in it:
+            q.append(pool.submit(place, b))
+            if len(q) >= size:
+                yield q.popleft().result()
+        while q:
+            yield q.popleft().result()
 
 
 def fetch_dataloader(
@@ -166,6 +179,7 @@ def fetch_dataloader(
     seed: int = 42,
     buckets: Sequence[int] = (128, 256, 512, 1024, 2048, 4096, 8192),
     mode: str = "sequential",
+    presort_eta: bool = False,
 ) -> Dict[str, PaddedLoader]:
     """Equivalent of reference ``fetch_dataloader``
     (model/data_loader.py:92-111): seeded 80/20 random split, sequential
@@ -175,6 +189,8 @@ def fetch_dataloader(
     n_val = int(np.floor(validation_split * n))
     train_idx, val_idx = _torch_random_split_indices(n, n_val, seed)
     return {
-        "train": PaddedLoader(dataset, train_idx, batch_size, buckets, mode),
-        "test": PaddedLoader(dataset, val_idx, batch_size, buckets, mode),
+        "train": PaddedLoader(dataset, train_idx, batch_size, buckets, mode,
+                              presort_eta=presort_eta),
+        "test": PaddedLoader(dataset, val_idx, batch_size, buckets, mode,
+                             presort_eta=presort_eta),
     }

@@ -15,7 +15,7 @@ returned for diagnostics that need original candidate order
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,147 @@ def sort_by_eta(batch: EventBatch) -> Tuple[EventBatch, jnp.ndarray]:
         num_valid=batch.num_valid,
     )
     return out, perm
+
+
+def presort_batch(batch: EventBatch) -> EventBatch:
+    """Host-side (numpy) equivalent of ``sort_by_eta`` — applied once at
+    collation time by the loader (``presort_eta=True``) so no per-step
+    argsort ever runs on device.  Batches are memoized host-side, so the
+    sort happens once per batch per run instead of once per train step.
+    """
+    import numpy as np
+
+    eta = np.asarray(batch.x_cont[..., 3])
+    mask = np.asarray(batch.mask)
+    key = np.where(mask, eta, np.inf)
+    perm = np.argsort(key, axis=1, kind="stable")
+
+    def take(arr):
+        arr = np.asarray(arr)
+        if arr.ndim == 3:
+            return np.take_along_axis(arr, perm[..., None], axis=1)
+        return np.take_along_axis(arr, perm, axis=1)
+
+    return EventBatch(
+        x_cont=take(batch.x_cont),
+        x_cat=take(batch.x_cat),
+        mask=take(batch.mask),
+        y=batch.y,
+        num_valid=batch.num_valid,
+    )
+
+
+def auto_block_rows(batch: EventBatch, r: float) -> int:
+    """Block size for cell_sort_batch: ~the number of eta-sorted rows an
+    r-wide eta slab spans (then an in-radius pair is almost always within
+    ±1 block), rounded up to the 32-row chunk grid, floored at 64."""
+    import numpy as np
+
+    eta = np.asarray(batch.x_cont[..., 3])
+    mask = np.asarray(batch.mask)
+    nv = mask.sum(axis=1)
+    spans = []
+    for b in range(eta.shape[0]):
+        if nv[b] < 2:
+            continue
+        e = eta[b][mask[b]]
+        spans.append(nv[b] * r / max(float(e.max() - e.min()), 1e-6))
+    if not spans:
+        return 64
+    g = int(np.median(spans))
+    return max(64, -(-g // 32) * 32)
+
+
+def cell_sort_batch(batch: EventBatch, r: float = 0.4,
+                    block_rows: Optional[int] = None) -> EventBatch:
+    """Host-side cell ordering: eta-sort each event, then re-sort by phi
+    inside fixed blocks of ``block_rows`` consecutive rows (eta-quantile
+    cells), padding pushed to the end.
+
+    A 2D spatial ordering for the implicit-window kernel: with eta-only
+    sorting, a node's ±halo window spans ALL phi values in its eta slab, so
+    the kernel sweeps ~2pi/(2r) more rows than are in-radius.  Phi-sorting
+    inside eta-quantile blocks makes each neighborhood fall into <= ~3
+    short phi runs (one per adjacent block), which the kernel's per-chunk
+    eta+phi interval prune then skips (ops/pallas/edgeconv_window.py).
+
+    Quantile (equal-occupancy) blocks — not fixed-width eta bins — are
+    essential under lane packing: the kernel ORs its prune mask across the
+    ``pack`` events sharing a vreg, and only row-aligned blocks keep the
+    events' phi runs aligned so the OR stays tight.
+
+    The window machinery itself is order-agnostic: correctness needs only
+    halo >= required_span_batch on the actual order; orderings are pure
+    locality heuristics.
+    """
+    import numpy as np
+
+    G = int(block_rows if block_rows is not None
+            else auto_block_rows(batch, r))
+    eta = np.asarray(batch.x_cont[..., 3])
+    phi = np.arctan2(np.asarray(batch.x_cont[..., 1]),
+                     np.asarray(batch.x_cont[..., 0]))
+    mask = np.asarray(batch.mask)
+    B, N = eta.shape
+    p1 = np.argsort(np.where(mask, eta, np.inf), axis=1, kind="stable")
+    phi_s = np.take_along_axis(np.where(mask, phi, np.inf), p1, axis=1)
+    blk = np.broadcast_to(np.arange(N) // G, (B, N))
+    p2 = np.lexsort((phi_s, blk), axis=1)
+    perm = np.take_along_axis(p1, p2, axis=1)
+
+    def take(arr):
+        arr = np.asarray(arr)
+        if arr.ndim == 3:
+            return np.take_along_axis(arr, perm[..., None], axis=1)
+        return np.take_along_axis(arr, perm, axis=1)
+
+    return EventBatch(
+        x_cont=take(batch.x_cont),
+        x_cat=take(batch.x_cat),
+        mask=take(batch.mask),
+        y=batch.y,
+        num_valid=batch.num_valid,
+    )
+
+
+def required_span_arrays(eta, phi, mask, r: float) -> int:
+    """Smallest halo H such that, in the CURRENT row order, every in-radius
+    pair (plain euclidean in (eta, phi), the reference metric) is within H
+    index positions.  Order-agnostic counterpart of required_halo_arrays —
+    works for eta-sorted, cell-sorted, or any other layout.  O(N^2) per
+    event in blocks; host numpy, run once per memoized batch."""
+    import numpy as np
+
+    eta, phi, mask = np.asarray(eta), np.asarray(phi), np.asarray(mask)
+    r2 = float(r) ** 2
+    worst = 0
+    for b in range(eta.shape[0]):
+        e = eta[b][mask[b]].astype(np.float64)
+        p = phi[b][mask[b]].astype(np.float64)
+        n = len(e)
+        if n == 0:
+            continue
+        idx = np.arange(n)
+        for s in range(0, n, 512):
+            q = slice(s, min(s + 512, n))
+            d2 = (e[q, None] - e[None, :]) ** 2 + (p[q, None] - p[None, :]) ** 2
+            adj = d2 < r2                       # self is adjacent: d2 == 0
+            jq = idx[q, None]
+            j_hi = np.where(adj, idx[None, :], jq).max(axis=1)
+            j_lo = np.where(adj, idx[None, :], jq).min(axis=1)
+            worst = max(worst, int(np.max(j_hi - idx[q])),
+                        int(np.max(idx[q] - j_lo)))
+    return worst
+
+
+def required_span_batch(batch: EventBatch, r: float) -> int:
+    """required_span_arrays over a collated EventBatch's current order."""
+    import numpy as np
+
+    eta = np.asarray(batch.x_cont[..., 3])
+    phi = np.arctan2(np.asarray(batch.x_cont[..., 1]),
+                     np.asarray(batch.x_cont[..., 0]))
+    return required_span_arrays(eta, phi, np.asarray(batch.mask), r)
 
 
 def required_halo_arrays(eta, mask, r: float) -> int:

@@ -82,10 +82,12 @@ def build_graph(batch: EventBatch, cfg: Config):
     the graph is an explicit capped-degree Neighborhood.
     """
     if cfg.graph.mode == "window":
-        from deepmetv2_tpu.data.sorting import sort_by_eta
         from deepmetv2_tpu.ops.window import WindowGraph
 
-        batch, _ = sort_by_eta(batch)
+        if not cfg.graph.presorted:
+            from deepmetv2_tpu.data.sorting import sort_by_eta
+
+            batch, _ = sort_by_eta(batch)
         phi = jnp.arctan2(batch.x_cont[..., 1], batch.x_cont[..., 0])
         etaphi = jnp.stack([batch.x_cont[..., 3], phi], axis=-1)
         return batch, WindowGraph(etaphi, batch.mask, r=cfg.graph.delta_r,
@@ -137,7 +139,7 @@ def eval_step_body(cfg: Config):
     parallel.dp.make_dp_eval_step jits it with mesh shardings."""
 
     def eval_step(params, bn_state, batch: EventBatch):
-        if cfg.graph.mode == "window":
+        if cfg.graph.mode == "window" and not cfg.graph.presorted:
             from deepmetv2_tpu.data.sorting import sort_by_eta
 
             gbatch, perm = sort_by_eta(batch)

@@ -132,3 +132,72 @@ class TestLoader:
         synthetic_npz(str(raw / "s1.npz"), 3, seed=6)
         ds = METDataset(data_dir=str(tmp_path))
         assert len(ds) == 7
+
+
+class TestPresort:
+    """Host-side eta presort (loader presort_eta + graph.presorted)."""
+
+    def test_presort_batch_matches_device_sort(self):
+        from deepmetv2_tpu.data.loader import fetch_dataloader
+        from deepmetv2_tpu.data.sorting import presort_batch, sort_by_eta
+
+        events = synthetic_events(8, seed=11)
+        b = collate(events, buckets=(256,))
+        host = presort_batch(b)
+        dev, _ = sort_by_eta(b)
+        for a, c in zip(host, dev):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c))
+
+    def test_presorted_config_same_loss(self):
+        """A presorting loader + presorted config computes the same loss
+        (and same trained params after a step) as the sorting step."""
+        import dataclasses
+
+        import jax
+
+        from deepmetv2_tpu.config import Config, DataConfig, GraphConfig
+        from deepmetv2_tpu.data.loader import fetch_dataloader
+        from deepmetv2_tpu.models import graph_met_init
+        from deepmetv2_tpu.train.step import (init_train_state,
+                                              make_eval_step,
+                                              make_train_step)
+
+        events = synthetic_events(6, seed=3)
+        base = dict(batch_size=6, validation_split=0.0, buckets=(256,))
+        plain = fetch_dataloader(events=events, **base)["train"]
+        sorted_ = fetch_dataloader(events=events, presort_eta=True,
+                                   **base)["train"]
+        cfg = Config(graph=GraphConfig(mode="window", window_halo=64),
+                     data=DataConfig(batch_size=6, node_buckets=(256,)))
+        cfg_pre = dataclasses.replace(
+            cfg, graph=dataclasses.replace(cfg.graph, presorted=True))
+
+        # two independent inits (same key): the train step donates its
+        # state, so the two states must not alias buffers
+        s1 = init_train_state(*graph_met_init(jax.random.PRNGKey(0)), cfg)
+        s2 = init_train_state(*graph_met_init(jax.random.PRNGKey(0)),
+                              cfg_pre)
+        (b1,) = list(plain)
+        (b2,) = list(sorted_)
+        s1, l1 = make_train_step(cfg)(s1, b1)
+        s2, l2 = make_train_step(cfg_pre)(s2, b2)
+        assert abs(float(l1) - float(l2)) < 1e-5 * max(1.0, abs(float(l1)))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5,
+                                                    atol=1e-6),
+            s1.params, s2.params)
+
+        w1, el1, _ = make_eval_step(cfg)(s1.params, s1.bn_state, b1)
+        w2, el2, _ = make_eval_step(cfg_pre)(s2.params, s2.bn_state, b2)
+        assert abs(float(el1) - float(el2)) < 1e-5 * max(1.0, abs(float(el1)))
+        # per-event weight multisets agree (order differs by the presort)
+        np.testing.assert_allclose(np.sort(np.asarray(w1), axis=1),
+                                   np.sort(np.asarray(w2), axis=1),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_collate_is_host_resident(self):
+        """Loader batches are numpy (host) — the memoized cache must never
+        pin the dataset in device memory (prefetch_to_device stages it)."""
+        b = collate(synthetic_events(3, seed=5), buckets=(128,))
+        for leaf in b:
+            assert isinstance(leaf, np.ndarray), type(leaf)
