@@ -6,7 +6,8 @@ Prints ONE JSON line:
 
 ``value``: true radius-graph edges processed per second through forward AND
 backward of this framework's flagship EdgeConv path — the implicit windowed
-Pallas kernel over eta-sorted events (ops/pallas/edgeconv_window.py), which
+Pallas kernel over cell-sorted events (ops/pallas/edgeconv_window.py;
+eta-quantile-block x phi order, data/sorting.cell_sort_batch), which
 evaluates every in-radius pair (the reference caps at 255 neighbors;
 we don't).
 
@@ -62,10 +63,9 @@ from deepmetv2_tpu.ops.window import WindowGraph, window_edgeconv_linear
 
 # Headline config: reference-scale bucketed batch (~2k candidates, dR=0.4).
 B, N, H, K, R = 8, 2048, 32, 256, 0.4
-REPS = 3           # min over REPS timed runs per chain length
-# Chain lengths (K1, K2): the K2-K1 spread must put >= ~10 ms of device
-# work between the two runs, or the tunnel's ±2 ms fetch jitter swamps the
-# slope (sub-ms kernels need a wide spread).
+REPS = 6           # interleaved min-tracked reps per chain length
+# Initial chain lengths (K1, K2) — _slope_time's pilot re-lengthens K2
+# until the work spread crosses MIN_SPREAD_S (see the shared-tunnel note).
 K_FAST = (10, 60)  # fast ops (sub-ms to few-ms per iteration)
 K_SLOW = (2, 6)    # slow ops (the reference-design baseline, ~80 ms/iter)
 
@@ -98,22 +98,52 @@ def _fetch(tree) -> None:
     np.asarray(jax.device_get(leaf))
 
 
+# The tunnel is SHARED infrastructure: identical programs vary 2-4x in
+# wall time run-to-run (measured t(k=110) between 154 and 443 ms minutes
+# apart) — the dispatch+fetch overhead itself swings by >100 ms with other
+# tenants' load.  Two consequences for the estimator:
+#   * the spread of device work between the two chain lengths must dwarf
+#     the WORST-CASE overhead swing, not the typical jitter (MIN_SPREAD_S
+#     of 1 s; a 40 ms spread under-reported a 6.7 ms/iter kernel as
+#     4.7 ms/iter, and a few-ms spread once reported 62 us/iter for a
+#     520 us/iter kernel);
+#   * each length needs MANY reps, interleaved between the lengths so
+#     load drift hits both, with the MIN taken per length — minima
+#     converge on true device time + minimal overhead, and the fixed part
+#     cancels in the slope.
+MIN_SPREAD_S = 1.0
+MAX_CHAIN = 16384
+
+
 def _slope_time(body, carry, ks=K_FAST, reps=REPS) -> float:
     """Per-iteration device time of ``body`` (a lax.scan step fn) via the
-    slope between two chain lengths — see module docstring."""
-    def run(k):
+    slope between two chain lengths — see module docstring and the shared-
+    tunnel note above.  Pilot passes re-lengthen the long chain (at most
+    twice — each length is a fresh compile) until the work spread between
+    the lengths crosses MIN_SPREAD_S."""
+    def compile_chain(k):
         f = jax.jit(lambda c: jax.lax.scan(body, c, None, length=k)[0])
-        out = f(carry)
-        _fetch(out)                              # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _fetch(f(carry))
-            best = min(best, time.perf_counter() - t0)
-        return best
+        _fetch(f(carry))                         # compile + warm
+        return f
+
+    def once(f):
+        t0 = time.perf_counter()
+        _fetch(f(carry))
+        return time.perf_counter() - t0
 
     k1, k2 = ks
-    t1, t2 = run(k1), run(k2)
+    f1, f2 = compile_chain(k1), compile_chain(k2)
+    t1, t2 = once(f1), once(f2)                  # pilot
+    for _ in range(2):
+        if t2 - t1 >= MIN_SPREAD_S or k2 >= MAX_CHAIN:
+            break
+        pilot = max((t2 - t1) / (k2 - k1), 1e-6)
+        k2 = min(MAX_CHAIN, k1 + int(np.ceil(1.25 * MIN_SPREAD_S / pilot)))
+        f2 = compile_chain(k2)
+        t2 = once(f2)
+    for _ in range(reps):                        # interleaved min-tracking
+        t1 = min(t1, once(f1))
+        t2 = min(t2, once(f2))
     return max((t2 - t1) / (k2 - k1), 1e-9)
 
 
@@ -129,17 +159,26 @@ def _grad_chain(fn):
     return body
 
 
-def _make_graph_inputs(b, n, h, seed):
-    """Synthetic eta-sorted batch + feature/weight tensors for kernel runs."""
+def _make_graph_inputs(b, n, h, seed, order="cell"):
+    """Synthetic spatially-sorted batch + feature/weight tensors for kernel
+    runs.  ``order``: 'cell' (flagship layout, data/sorting.cell_sort_batch)
+    or 'eta' (plain eta sort)."""
+    from deepmetv2_tpu.data.sorting import cell_sort_batch, required_span_batch
+
     events = synthetic_events(b, seed=seed, n_min=max(2, n - 256), n_max=n - 1)
     batch = collate(events, buckets=(n,))
-    batch, _ = sort_by_eta(batch)
+    if order == "cell":
+        batch = cell_sort_batch(batch, r=R)
+        halo = required_span_batch(batch, R)
+    else:
+        batch, _ = sort_by_eta(batch)
+        halo = required_halo(batch, R)
     phi = jnp.arctan2(batch.x_cont[..., 1], batch.x_cont[..., 0])
-    etaphi = jnp.stack([batch.x_cont[..., 3], phi], axis=-1)
-    halo = required_halo(batch, R)
+    etaphi = jnp.stack([jnp.asarray(batch.x_cont[..., 3]), phi], axis=-1)
+    mask = jnp.asarray(batch.mask)
     rng = np.random.default_rng(seed)
     x = jnp.asarray(rng.normal(size=(b, n, h)).astype(np.float32))
-    x = jnp.where(batch.mask[..., None], x, 0.0)
+    x = jnp.where(mask[..., None], x, 0.0)
     w = jnp.asarray(rng.normal(size=(2 * h, h)).astype(np.float32) * 0.1)
     bias = jnp.zeros((h,), jnp.float32)
     return batch, etaphi, halo, x, w, bias
@@ -147,11 +186,12 @@ def _make_graph_inputs(b, n, h, seed):
 
 def _true_edges(etaphi, mask, r) -> float:
     """Uncapped in-radius pair count (incl. self-loops) — what the window
-    kernel actually processes.  Host-side over the eta-sorted batch."""
+    kernel actually processes.  Host-side; any row order."""
     etaphi, mask = np.asarray(etaphi), np.asarray(mask)
     r2, total = float(r) ** 2, 0
     for b in range(etaphi.shape[0]):
-        pts = etaphi[b][mask[b]]           # eta-sorted by construction
+        pts = etaphi[b][mask[b]]
+        pts = pts[np.argsort(pts[:, 0], kind="stable")]
         eta = pts[:, 0]
         for s in range(0, len(eta), 1024):
             q = pts[s:s + 1024]
@@ -187,6 +227,7 @@ def _numerics_gate(interpret: bool) -> dict:
         {"name": "tile_fallback", "B": 2, "N": 200, "H": 32},
         {"name": "lane_packed", "B": 5, "N": 512, "H": 32},
         {"name": "unpacked_h128", "B": 2, "N": 256, "H": 128},
+        {"name": "cell_order", "B": 4, "N": 512, "H": 32, "order": "cell"},
     ]
     from deepmetv2_tpu.ops.pallas.edgeconv_window import (
         window_edgeconv_linear_pallas,
@@ -204,8 +245,20 @@ def _numerics_gate(interpret: bool) -> dict:
         phi = rng.uniform(-np.pi, np.pi, (b, n)).astype(np.float32)
         n_valid = rng.integers(max(2, n - n // 4), n + 1, size=b)
         mask = np.arange(n)[None, :] < n_valid[:, None]
-        from deepmetv2_tpu.data.sorting import required_halo_arrays
-        halo = required_halo_arrays(eta, mask, R)
+        from deepmetv2_tpu.data.sorting import (required_halo_arrays,
+                                                required_span_arrays)
+        if s.get("order") == "cell":
+            # re-sort rows by (eta-quantile block, phi), pads last —
+            # the flagship layout exercising the multi-interval prune
+            G = 64
+            blk = np.where(mask, np.arange(n)[None, :] // G, n)
+            perm = np.lexsort((np.where(mask, phi, np.inf), blk), axis=1)
+            eta = np.take_along_axis(eta, perm, 1)
+            phi = np.take_along_axis(phi, perm, 1)
+            mask = np.take_along_axis(mask, perm, 1)
+            halo = required_span_arrays(eta, phi, mask, R)
+        else:
+            halo = required_halo_arrays(eta, mask, R)
         g = WindowGraph(jnp.asarray(np.stack([eta, phi], -1)),
                         jnp.asarray(mask), r=R, halo=halo)
         x = jnp.asarray(rng.normal(size=(b, n, h)).astype(np.float32))
@@ -255,7 +308,7 @@ def _sweep(on_tpu: bool) -> list:
             for (tile, wchunk) in CANDIDATES:
                 body = _grad_chain(lambda x, w, t=tile, wc=wchunk:
                                    kernel_fn(x, g, w, bias, tile=t, wchunk=wc))
-                t = _slope_time(body, (x, w), ks=K_SWEEP, reps=2)
+                t = _slope_time(body, (x, w), ks=K_SWEEP, reps=4)
                 if best is None or t < best["ms"] * 1e-3:
                     gbytes = _kernel_bytes(b, n, h, halo, tile, wchunk)
                     best = {"tile": tile, "wchunk": wchunk, "ms": t * 1e3,
@@ -264,7 +317,7 @@ def _sweep(on_tpu: bool) -> list:
         else:
             body = _grad_chain(
                 lambda x, w: window_edgeconv_linear(x, g, w, bias))
-            t = _slope_time(body, (x, w), ks=K_SWEEP, reps=2)
+            t = _slope_time(body, (x, w), ks=K_SWEEP, reps=4)
             best = {"tile": None, "wchunk": None, "ms": t * 1e3}
         rows.append({"B": b, "N": n, "H": h, "halo": halo,
                      "true_edges": edges,
@@ -311,13 +364,19 @@ def main() -> None:
 
     import dataclasses
 
+    # non-presorted step: the compiled step re-sorts by eta on device, so
+    # its halo is the eta-order one (required_halo sorts internally and is
+    # row-order independent); the presorted step trusts the cell order and
+    # needs the (larger) cell-span halo.
+    halo_eta = max(64, -(-required_halo(batch, R) // 64) * 64)
     halo_c = max(64, -(-halo // 64) * 64)
-    cfg = Config(graph=GraphConfig(mode="window", window_halo=halo_c),
+    cfg = Config(graph=GraphConfig(mode="window", window_halo=halo_eta),
                  data=DataConfig(batch_size=B, node_buckets=(N,)))
     cfg_pre = dataclasses.replace(
-        cfg, graph=dataclasses.replace(cfg.graph, presorted=True))
+        cfg, graph=dataclasses.replace(cfg.graph, window_halo=halo_c,
+                                       presorted=True))
     params, bn = graph_met_init(jax.random.PRNGKey(0))
-    dbatch = jax.device_put(batch)    # already eta-sorted (bench inputs)
+    dbatch = jax.device_put(batch)    # already cell-sorted (bench inputs)
 
     def step_chain(c):
         """Per-step device time of the full train step (graph build + fwd +

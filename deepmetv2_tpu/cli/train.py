@@ -60,11 +60,17 @@ def build_parser() -> argparse.ArgumentParser:
                    default="sequential", help="batching mode")
     p.add_argument("--graph_mode", choices=["window", "neighbor_list"],
                    default="window",
-                   help="'window': implicit eta-sorted radius graph (Pallas "
-                        "fast path, uncapped degree; the halo is sized from "
-                        "the dataset automatically); 'neighbor_list': "
-                        "explicit capped-degree lists (reference-cap "
-                        "semantics, train.py:48)")
+                   help="'window': implicit sorted-order radius graph "
+                        "(Pallas fast path, uncapped degree; the halo is "
+                        "sized from the dataset automatically); "
+                        "'neighbor_list': explicit capped-degree lists "
+                        "(reference-cap semantics, train.py:48)")
+    p.add_argument("--sort_mode", choices=["cell", "eta"], default=None,
+                   help="window-mode row order: 'cell' (eta-quantile-block "
+                        "x phi, fastest kernel layout; default) or 'eta' "
+                        "(plain eta sort; forced for edge-partitioned "
+                        "--mesh DxN runs, where it minimizes the halo "
+                        "exchanged between node shards)")
     p.add_argument("--from_torch", default=None,
                    help="warm-start from a reference .pth.tar checkpoint")
     p.add_argument("--mesh", default=None, metavar="DxN",
@@ -76,19 +82,26 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def apply_graph_mode(cfg: Config, args, all_events,
-                     presorted: bool = False) -> Config:
+def apply_graph_mode(cfg: Config, args, all_events, presorted: bool = False,
+                     loaders=None) -> Config:
     """Resolve --graph_mode into the config; in window mode, size the
     compiled halo from the data (max sorted-order neighbor span, rounded up
     to the 64-row DMA grid).  ``presorted=True`` only when the caller's
     loaders were built with ``presort_eta=True`` — it makes the compiled
-    steps trust the batch order and skip their device argsort."""
+    steps trust the batch order and skip their device argsort.  With
+    ``loaders`` given, the halo is sized on the loaders' ACTUAL emitted row
+    order (required for cell-sorted loaders, whose span differs from the
+    eta-sorted one); otherwise from raw events assuming eta order."""
     from deepmetv2_tpu.config import GraphConfig
     from deepmetv2_tpu.data.sorting import required_halo_events
 
     if args.graph_mode != "window":
         return cfg
-    halo = required_halo_events(all_events, cfg.graph.delta_r)
+    if loaders is not None:
+        halo = max(ld.required_halo(cfg.graph.delta_r)
+                   for ld in loaders if len(ld))
+    else:
+        halo = required_halo_events(all_events, cfg.graph.delta_r)
     halo = max(64, -(-halo // 64) * 64)
     return dataclasses.replace(
         cfg, graph=dataclasses.replace(cfg.graph, mode="window",
@@ -126,30 +139,42 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(
             cfg, drn=dataclasses.replace(cfg.drn, **drn_over))
 
-    # Window mode: the loader pre-sorts by eta on the host once per batch
-    # (memoized) and apply_graph_mode marks the config presorted, so the
-    # compiled steps never run a device argsort.
+    # Window mode: the loader pre-sorts spatially on the host once per
+    # batch (memoized) and apply_graph_mode marks the config presorted, so
+    # the compiled steps never run a device argsort.  Default row order is
+    # 'cell' (fastest kernel layout); edge-partitioned runs use 'eta',
+    # which minimizes the halo exchanged between node shards.
+    ep_run = bool(args.mesh and "x" in args.mesh.lower()
+                  and int(args.mesh.lower().split("x")[1]) > 1)
+    sort_mode = args.sort_mode or ("eta" if ep_run else "cell")
+    if args.sort_mode == "cell" and ep_run:
+        raise SystemExit("--sort_mode cell is incompatible with an "
+                         "edge-partitioned mesh (node-sharded runs need "
+                         "the eta order's minimal shard halo)")
     presort = args.graph_mode == "window" and args.model != "drn"
+    presort_kw = dict(presort_eta=presort, presort_mode=sort_mode,
+                      presort_r=cfg.graph.delta_r)
     if args.synthetic:
         events = synthetic_events(args.synthetic, seed=42)
         loaders = fetch_dataloader(
             events=events, batch_size=cfg.data.batch_size,
             validation_split=cfg.data.validation_split,
-            buckets=cfg.data.node_buckets, mode=args.mode,
-            presort_eta=presort)
+            buckets=cfg.data.node_buckets, mode=args.mode, **presort_kw)
     else:
         data_dir = osp.join(os.environ.get("PWD", "."), args.data)
         loaders = fetch_dataloader(
             data_dir=data_dir, batch_size=cfg.data.batch_size,
             validation_split=cfg.data.validation_split,
-            buckets=cfg.data.node_buckets, mode=args.mode,
-            presort_eta=presort)
+            buckets=cfg.data.node_buckets, mode=args.mode, **presort_kw)
 
-    cfg = apply_graph_mode(cfg, args, loaders["train"].dataset,
-                           presorted=presort)
+    cfg = apply_graph_mode(
+        cfg, args, loaders["train"].dataset, presorted=presort,
+        loaders=[loaders["train"], loaders["test"]] if presort else None)
     print(len(loaders["train"]), len(loaders["test"]))
     if cfg.graph.mode == "window":
-        print(f"graph mode: window (halo {cfg.graph.window_halo})")
+        order = sort_mode if presort else "eta (device sort)"
+        print(f"graph mode: window (halo {cfg.graph.window_halo}, "
+              f"order {order})")
     print("devices:", jax.devices())
 
     if args.from_torch:

@@ -80,6 +80,8 @@ class PaddedLoader:
         pad_batches: bool = True,
         cache: bool = True,
         presort_eta: bool = False,
+        presort_mode: str = "eta",
+        presort_r: float = 0.4,
     ):
         self.dataset = dataset
         self.indices = np.asarray(indices, dtype=np.int64)
@@ -88,10 +90,15 @@ class PaddedLoader:
         assert mode in ("sequential", "bucketed")
         self.mode = mode
         self.pad_batches = pad_batches
-        # Window-mode fast path: sort candidates by eta on the host at
+        # Window-mode fast path: spatially sort candidates on the host at
         # collation time (graph.presorted must be set so the compiled steps
         # skip their device argsort — see train/step.build_graph).
+        # presort_mode 'eta' = plain eta sort; 'cell' = eta-quantile-block x
+        # phi cell order (fastest kernel layout, data/sorting.py).
+        assert presort_mode in ("eta", "cell")
         self.presort_eta = presort_eta
+        self.presort_mode = presort_mode
+        self.presort_r = presort_r
         self._batches = self._plan()
         # The plan and padding are deterministic, so the collated batches
         # can be memoized: epoch 2+ replays pre-built host arrays with zero
@@ -125,6 +132,24 @@ class PaddedLoader:
     def __len__(self) -> int:
         return len(self._batches)
 
+    def required_halo(self, r: float) -> int:
+        """Smallest window halo valid for every batch this loader yields,
+        on the row order it actually emits (sizes the compiled
+        graph.window_halo).  Builds the batch cache on first use."""
+        from deepmetv2_tpu.data import sorting
+
+        worst = 0
+        for b in self:
+            if self.presort_eta and self.presort_mode == "cell":
+                worst = max(worst, sorting.required_span_blocks(b, r))
+            else:
+                # eta order (either presorted, or sorted on device by the
+                # step): the eta-sorted span bound applies
+                eta = np.asarray(b.x_cont[..., 3])
+                worst = max(worst, sorting.required_halo_arrays(
+                    eta, np.asarray(b.mask), r))
+        return int(worst)
+
     def __iter__(self) -> Iterator[EventBatch]:
         if self._cache:
             yield from self._cache
@@ -135,8 +160,12 @@ class PaddedLoader:
             events = [self.dataset[int(i)] for i in batch_idx]
             b = collate(events, buckets=self.buckets, pad_events_to=pad_to)
             if self.presort_eta:
-                from deepmetv2_tpu.data.sorting import presort_batch
-                b = presort_batch(b)
+                if self.presort_mode == "cell":
+                    from deepmetv2_tpu.data.sorting import cell_sort_batch
+                    b = cell_sort_batch(b, r=self.presort_r)
+                else:
+                    from deepmetv2_tpu.data.sorting import presort_batch
+                    b = presort_batch(b)
             built.append(b)
             yield b
         if self._cache is not None:      # publish only complete epochs
@@ -180,6 +209,8 @@ def fetch_dataloader(
     buckets: Sequence[int] = (128, 256, 512, 1024, 2048, 4096, 8192),
     mode: str = "sequential",
     presort_eta: bool = False,
+    presort_mode: str = "eta",
+    presort_r: float = 0.4,
 ) -> Dict[str, PaddedLoader]:
     """Equivalent of reference ``fetch_dataloader``
     (model/data_loader.py:92-111): seeded 80/20 random split, sequential
@@ -188,9 +219,11 @@ def fetch_dataloader(
     n = len(dataset)
     n_val = int(np.floor(validation_split * n))
     train_idx, val_idx = _torch_random_split_indices(n, n_val, seed)
+    kw = dict(presort_eta=presort_eta, presort_mode=presort_mode,
+              presort_r=presort_r)
     return {
         "train": PaddedLoader(dataset, train_idx, batch_size, buckets, mode,
-                              presort_eta=presort_eta),
+                              **kw),
         "test": PaddedLoader(dataset, val_idx, batch_size, buckets, mode,
-                             presort_eta=presort_eta),
+                             **kw),
     }

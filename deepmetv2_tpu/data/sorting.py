@@ -180,6 +180,45 @@ def required_span_arrays(eta, phi, mask, r: float) -> int:
     return worst
 
 
+def required_span_blocks(batch: EventBatch, r: float,
+                         block_rows: Optional[int] = None) -> int:
+    """Fast conservative halo bound for a CELL-SORTED batch (see
+    cell_sort_batch): in block order, an in-radius pair can only join rows
+    of blocks whose eta ranges come within r of each other, so the worst
+    row distance is bounded by block-pair row extents.  O(n_blocks^2) per
+    event instead of required_span_arrays' O(N^2); ignores phi, hence an
+    upper bound (the kernel re-checks adjacency exactly — a loose halo
+    costs time, never correctness)."""
+    import numpy as np
+
+    G = int(block_rows if block_rows is not None
+            else auto_block_rows(batch, r))
+    eta = np.asarray(batch.x_cont[..., 3])
+    mask = np.asarray(batch.mask)
+    B, N = eta.shape
+    n_blk = -(-N // G)
+    pad = n_blk * G - N
+    elo = np.where(mask, eta, np.inf)      # empty blocks → (inf, -inf),
+    ehi = np.where(mask, eta, -np.inf)     # excluded by the isfinite filter
+    if pad:
+        elo = np.pad(elo, ((0, 0), (0, pad)), constant_values=np.inf)
+        ehi = np.pad(ehi, ((0, 0), (0, pad)), constant_values=-np.inf)
+    emin = elo.reshape(B, n_blk, G).min(axis=-1)           # [B, n_blk]
+    emax = ehi.reshape(B, n_blk, G).max(axis=-1)
+    worst = 0
+    for b in range(B):
+        fin = np.isfinite(emin[b])
+        gs = np.where(fin)[0]
+        for g in gs:
+            for h in gs:
+                if (emin[b, h] < emax[b, g] + r and
+                        emax[b, h] > emin[b, g] - r):
+                    span = max((h + 1) * G - 1 - g * G,
+                               (g + 1) * G - 1 - h * G)
+                    worst = max(worst, span)
+    return int(worst)
+
+
 def required_span_batch(batch: EventBatch, r: float) -> int:
     """required_span_arrays over a collated EventBatch's current order."""
     import numpy as np

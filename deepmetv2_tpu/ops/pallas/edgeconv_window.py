@@ -1,9 +1,14 @@
 """Pallas TPU kernel: implicit windowed EdgeConv aggregation.
 
-The hot op of the flagship model (SURVEY.md §3.3): for eta-sorted events,
-``m_i = max_{w : ‖ηφ_i − ηφ_w‖² < r²} c_w`` over a contiguous index window
-— the gather-free form of radius-graph EdgeConv-max (see ops/window.py for
-the XLA formulation and the math).
+The hot op of the flagship model (SURVEY.md §3.3): for spatially sorted
+events, ``m_i = max_{w : ‖ηφ_i − ηφ_w‖² < r²} c_w`` over a contiguous
+index window — the gather-free form of radius-graph EdgeConv-max (see
+ops/window.py for the XLA formulation and the math).  Any row order works
+given halo >= the order's in-radius span (data/sorting.required_span_*);
+the fast layout is the CELL order (eta-quantile blocks x phi,
+data/sorting.cell_sort_batch), where the per-tile eta+phi chunk prune
+skips most of the window (measured 1.4x at N=2048 / 1.6x at N=8192 over a
+plain eta sort on v5e, despite the wider halo).
 
 Layout: **lane-packed events.**  With hidden size H dividing the 128-lane
 vector width, ``pack = 128 // H`` events ride side-by-side in the lane
@@ -55,14 +60,18 @@ DEFAULT_TILE = 16  # query rows per grid step; small tiles prune tighter
 # bench.py sweeps (tile, wchunk) across shapes and records the winners)
 
 
+N_INTERVALS = 4  # needed-chunk runs per tile (cell order: <= 3 phi windows
+# in adjacent eta blocks, +1 for block-straddling tiles; the last interval
+# conservatively merges any overflow runs).  Eta order degenerates to one
+# run — intervals 1..3 are empty and their fori_loops exit immediately.
+
+
 def _fwd_kernel(c_hbm, eta_hbm, phi_hbm, qe_ref, qp_ref, lo_ref, hi_ref,
                 out_ref, cwin, ewin, pwin, sems, *, tile, w_win, r2,
                 wchunk):
     b = pl.program_id(0)
     i = pl.program_id(1)
     s = i * tile  # window start in the halo-padded source arrays
-    lo = lo_ref[b, i]  # first / one-past-last window chunk that can hold a
-    hi = hi_ref[b, i]  # neighbor of this tile (eta-interval prune, wrapper)
 
     copies = [
         pltpu.make_async_copy(src.at[b, pl.ds(s, w_win), :], dst, sems.at[j])
@@ -87,8 +96,14 @@ def _fwd_kernel(c_hbm, eta_hbm, phi_hbm, qe_ref, qp_ref, lo_ref, hi_ref,
         masked = jnp.where(d2 < r2, cw[None, :, :], NEG_INF)
         return jnp.maximum(acc, jnp.max(masked, axis=1))
 
-    acc0 = jnp.full((T, F), NEG_INF, cwin.dtype)
-    out_ref[0] = jax.lax.fori_loop(lo, hi, chunk, acc0)
+    # Sweep the N_INTERVALS needed-chunk runs (eta+phi interval prune,
+    # wrapper) — statically unrolled so each run is a plain fori_loop with
+    # a register-carried accumulator; empty runs exit immediately.
+    acc = jnp.full((T, F), NEG_INF, cwin.dtype)
+    for j in range(N_INTERVALS):
+        acc = jax.lax.fori_loop(lo_ref[b, i * N_INTERVALS + j],
+                                hi_ref[b, i * N_INTERVALS + j], chunk, acc)
+    out_ref[0] = acc
 
 
 def _bwd_kernel(eta_hbm, phi_hbm, m_hbm, g_hbm, ct_ref, qe_ref, qp_ref,
@@ -99,12 +114,12 @@ def _bwd_kernel(eta_hbm, phi_hbm, m_hbm, g_hbm, ct_ref, qe_ref, qp_ref,
     Source-tile centric: the queries whose windows include source s lie in
     the same symmetric window around s, so the structure mirrors forward
     with (m, g) windows DMA'd instead of c; ``qe/qp`` are THIS tile's
-    (source) coordinates, ewin/pwin the window (query) coordinates."""
+    (source) coordinates, ewin/pwin the window (query) coordinates.  The
+    needed-run intervals are the forward's — the adjacency relation is
+    symmetric, so the pruned set is identical."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     s = i * tile
-    lo = lo_ref[b, i]  # same bounds as forward: the adjacency relation is
-    hi = hi_ref[b, i]  # symmetric, so the pruned interval is identical
 
     copies = [
         pltpu.make_async_copy(src.at[b, pl.ds(s, w_win), :], dst, sems.at[j])
@@ -129,8 +144,11 @@ def _bwd_kernel(eta_hbm, phi_hbm, m_hbm, g_hbm, ct_ref, qe_ref, qp_ref,
         hit = (d2 < r2) & (ct[:, None, :] == mw[None, :, :])
         return acc + jnp.sum(jnp.where(hit, gw[None, :, :], 0.0), axis=1)
 
-    acc0 = jnp.zeros((ct.shape[0], ct.shape[1]), ct.dtype)
-    dc_ref[0] = jax.lax.fori_loop(lo, hi, chunk, acc0)
+    acc = jnp.zeros((ct.shape[0], ct.shape[1]), ct.dtype)
+    for j in range(N_INTERVALS):
+        acc = jax.lax.fori_loop(lo_ref[b, i * N_INTERVALS + j],
+                                hi_ref[b, i * N_INTERVALS + j], chunk, acc)
+    dc_ref[0] = acc
 
 
 # ------------------------------------------------------------ packing
@@ -185,45 +203,76 @@ def _grid_params(N, halo, tile, wchunk):
     return halo_pad, w_win + extra, extra
 
 
-def _chunk_bounds(eta, halo_pad, extra, tile, r, pack, n_chunks, wchunk):
-    """Per-(packed-batch, tile) window-chunk interval [lo, hi) that can
-    contain neighbors, from eta intervals alone (eta is the sorted axis, so
-    a chunk whose eta range misses [tile_min − r, tile_max + r] holds no
-    in-radius pair for any query row of the tile — for ANY phi).  The
-    radius relation is symmetric, so the same interval serves the forward
-    (query-centric) and backward (source-centric) kernels.
+def _axis_needed(coord, halo_pad, extra, tile, r, n_tiles, n_chunks, wchunk):
+    """[B, n_tiles, C] bool: chunk c's range of ``coord`` overlaps tile t's
+    range ± r.  Conservative for ANY row ordering — a chunk whose coordinate
+    interval misses [tile_min − r, tile_max + r] cannot hold an in-radius
+    pair for this tile along that axis."""
+    B, N = coord.shape
+    c = jnp.where(coord < PAD_POS / 2, coord, jnp.inf)
+    ct = c.reshape(B, n_tiles, tile)
+    qmin = jnp.min(ct, axis=-1)                               # inf if empty
+    qmax = jnp.max(jnp.where(jnp.isfinite(ct), ct, -jnp.inf), axis=-1)
 
-    ``eta``: [B, N] with PAD_POS on padded rows.  Shapes must align to the
-    wchunk grid (checked by the caller).  Returns int32 [Bp, n_tiles] x2.
-    """
-    B, N = eta.shape
-    n_tiles = N // tile
-    e = jnp.where(eta < PAD_POS / 2, eta, jnp.inf)
-    et = e.reshape(B, n_tiles, tile)
-    qmin = jnp.min(et, axis=-1)                               # inf if empty
-    qmax = jnp.max(jnp.where(jnp.isfinite(et), et, -jnp.inf), axis=-1)
-
-    epad = jnp.pad(e, ((0, 0), (halo_pad, halo_pad + extra)),
+    cpad = jnp.pad(c, ((0, 0), (halo_pad, halo_pad + extra)),
                    constant_values=jnp.inf)
     G = (N + 2 * halo_pad + extra) // wchunk
-    eg = epad.reshape(B, G, wchunk)
-    gmin = jnp.min(eg, axis=-1)
-    gmax = jnp.max(jnp.where(jnp.isfinite(eg), eg, -jnp.inf), axis=-1)
+    cg = cpad.reshape(B, G, wchunk)
+    gmin = jnp.min(cg, axis=-1)
+    gmax = jnp.max(jnp.where(jnp.isfinite(cg), cg, -jnp.inf), axis=-1)
     base = (jnp.arange(n_tiles) * tile) // wchunk             # [n_tiles]
     idx = base[:, None] + jnp.arange(n_chunks)[None, :]       # [n_tiles, C]
     cmin = gmin[:, idx]                                       # [B, n_tiles, C]
     cmax = gmax[:, idx]
-    needed = ((cmin <= qmax[..., None] + r) &
-              (cmax >= qmin[..., None] - r))                  # [B, n_tiles, C]
+    return ((cmin <= qmax[..., None] + r) &
+            (cmax >= qmin[..., None] - r))                    # [B, n_tiles, C]
+
+
+def _intervals(needed, m):
+    """[Bp, n_tiles, C] bool → (lo, hi) int32 [Bp, n_tiles * m]: the first
+    m-1 contiguous runs of needed chunks exactly, with runs >= m merged
+    into the last interval (conservative — the kernel re-checks adjacency
+    elementwise, so over-coverage only costs time).  Flattened to 2D: SMEM
+    lane-pads the last axis of >=3D arrays catastrophically."""
+    Bp, nT, C = needed.shape
+    prev = jnp.pad(needed[..., :-1], ((0, 0), (0, 0), (1, 0)))
+    rid = jnp.cumsum((needed & ~prev).astype(jnp.int32), axis=-1)
+    k = jnp.arange(C)
+    los, his = [], []
+    for j in range(m):
+        in_j = needed & ((rid == j + 1) if j < m - 1 else (rid >= m))
+        hi_j = jnp.max(jnp.where(in_j, k + 1, 0), axis=-1)
+        lo_j = jnp.min(jnp.where(in_j, k, C), axis=-1)
+        los.append(jnp.minimum(lo_j, hi_j))
+        his.append(hi_j)
+    lo = jnp.stack(los, axis=-1).astype(jnp.int32).reshape(Bp, nT * m)
+    hi = jnp.stack(his, axis=-1).astype(jnp.int32).reshape(Bp, nT * m)
+    return lo, hi
+
+
+def _chunk_bounds(eta, phi, halo_pad, extra, tile, r, pack, n_chunks,
+                  wchunk):
+    """Per-(packed-batch, tile) prune structure for the window kernels:
+    N_INTERVALS chunk runs [lo, hi) that can contain neighbors, from chunk
+    eta AND phi interval overlap (the phi test is what makes a cell-sorted
+    layout fast; on a plain eta sort it collapses to one eta run).  The
+    radius relation is symmetric, so the same runs serve the forward
+    (query-centric) and backward (source-centric) kernels.
+
+    ``eta``/``phi``: [B, N] with PAD_POS on padded rows.  Shapes must align
+    to the wchunk grid (checked by the caller).
+    Returns int32 (lo, hi), each [Bp, n_tiles * N_INTERVALS].
+    """
+    B, N = eta.shape
+    n_tiles = N // tile
+    args = (halo_pad, extra, tile, r, n_tiles, n_chunks, wchunk)
+    needed = (_axis_needed(eta, *args) & _axis_needed(phi, *args))
 
     Bp = -(-B // pack)
     if Bp * pack != B:
         needed = jnp.pad(needed, ((0, Bp * pack - B), (0, 0), (0, 0)))
     needed = needed.reshape(Bp, pack, n_tiles, n_chunks).any(axis=1)
-    k = jnp.arange(n_chunks)
-    hi = jnp.max(jnp.where(needed, k + 1, 0), axis=-1).astype(jnp.int32)
-    lo = jnp.min(jnp.where(needed, k, n_chunks), axis=-1).astype(jnp.int32)
-    return jnp.minimum(lo, hi), hi
+    return _intervals(needed, N_INTERVALS)
 
 
 def _prepare(c, pos, halo_pad, extra, pack, m_fill=0.0):
@@ -254,17 +303,19 @@ def window_max(c, pos, r2: float, halo: int, tile: int = DEFAULT_TILE,
 
 def _bounds_or_static(pos, halo_pad, extra, w_win, tile, r2, pack, Bp,
                       n_tiles, wchunk):
-    """Dynamic eta-pruned chunk bounds when shapes align to the wchunk
-    grid; otherwise the static full sweep (tiny-shape test configs).
-    ``w_win`` is always a wchunk multiple (see _grid_params), so the
-    static sweep covers the whole window."""
+    """Dynamic eta+phi-pruned chunk runs when shapes align to the wchunk
+    grid; otherwise the static full sweep (tiny-shape test configs): run 0
+    covers the whole window, the rest are empty.  ``w_win`` is always a
+    wchunk multiple (see _grid_params)."""
     n_chunks = w_win // wchunk
     assert w_win % wchunk == 0
     if tile % wchunk == 0 and halo_pad % wchunk == 0:
-        return _chunk_bounds(pos[..., 0], halo_pad, extra, tile, r2 ** 0.5,
-                             pack, n_chunks, wchunk)
-    return (jnp.zeros((Bp, n_tiles), jnp.int32),
-            jnp.full((Bp, n_tiles), n_chunks, jnp.int32))
+        return _chunk_bounds(pos[..., 0], pos[..., 1], halo_pad, extra,
+                             tile, r2 ** 0.5, pack, n_chunks, wchunk)
+    lo = jnp.zeros((Bp, n_tiles, N_INTERVALS), jnp.int32)
+    hi = lo.at[..., 0].set(n_chunks)
+    return (lo.reshape(Bp, n_tiles * N_INTERVALS),
+            hi.reshape(Bp, n_tiles * N_INTERVALS))
 
 
 def _pick_tile(tile: int, N: int) -> int:
@@ -281,8 +332,8 @@ def _window_max_impl(c, pos, r2, halo, tile, interpret, wchunk=WCHUNK):
     pack = _pack_factor(H)
     cpad, eta_pad, phi_pad, qe, qp = _prepare(c, pos, halo_pad, extra, pack)
     Bp, _, F = qe.shape
-    lo, hi = _bounds_or_static(pos, halo_pad, extra, w_win, tile, r2, pack,
-                               Bp, N // tile, wchunk)
+    lo, hi = _bounds_or_static(pos, halo_pad, extra, w_win, tile, r2,
+                               pack, Bp, N // tile, wchunk)
 
     kernel = functools.partial(_fwd_kernel, tile=tile, w_win=w_win, r2=r2,
                                wchunk=wchunk)
@@ -297,8 +348,8 @@ def _window_max_impl(c, pos, r2, halo, tile, interpret, wchunk=WCHUNK):
                          memory_space=pltpu.VMEM),           # query eta
             pl.BlockSpec((1, tile, F), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),           # query phi
-            pl.BlockSpec(memory_space=pltpu.SMEM),           # lo [Bp, nT]
-            pl.BlockSpec(memory_space=pltpu.SMEM),           # hi [Bp, nT]
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # lo [Bp, nT*M]
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # hi [Bp, nT*M]
         ],
         out_specs=pl.BlockSpec((1, tile, F), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
@@ -339,8 +390,8 @@ def _window_max_bwd(r2, halo, tile, interpret, wchunk, res, g):
     gpad = jnp.pad(gpk, ((0, 0), (halo_pad, halo_pad + extra), (0, 0)))
     cl = _lane_pad(_pack_features(c, pack))
     Bp, _, F = qe.shape
-    lo, hi = _bounds_or_static(pos, halo_pad, extra, w_win, tile_, r2, pack,
-                               Bp, N // tile_, wchunk)
+    lo, hi = _bounds_or_static(pos, halo_pad, extra, w_win, tile_,
+                               r2, pack, Bp, N // tile_, wchunk)
 
     kernel = functools.partial(_bwd_kernel, tile=tile_, w_win=w_win, r2=r2,
                                wchunk=wchunk)
@@ -358,8 +409,8 @@ def _window_max_bwd(r2, halo, tile, interpret, wchunk, res, g):
                          memory_space=pltpu.VMEM),           # tile eta
             pl.BlockSpec((1, tile_, F), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),           # tile phi
-            pl.BlockSpec(memory_space=pltpu.SMEM),           # lo [Bp, nT]
-            pl.BlockSpec(memory_space=pltpu.SMEM),           # hi [Bp, nT]
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # lo [Bp, nT*M]
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # hi [Bp, nT*M]
         ],
         out_specs=pl.BlockSpec((1, tile_, F), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),

@@ -201,3 +201,47 @@ class TestPresort:
         b = collate(synthetic_events(3, seed=5), buckets=(128,))
         for leaf in b:
             assert isinstance(leaf, np.ndarray), type(leaf)
+
+    def test_cell_mode_loader_same_loss(self):
+        """Cell-sorted loader + presorted config: same loss/params as the
+        device-sorting eta path (order only changes performance)."""
+        import dataclasses
+
+        import jax
+
+        from deepmetv2_tpu.config import Config, DataConfig, GraphConfig
+        from deepmetv2_tpu.data.loader import fetch_dataloader
+        from deepmetv2_tpu.models import graph_met_init
+        from deepmetv2_tpu.train.step import (init_train_state,
+                                              make_train_step)
+
+        events = synthetic_events(6, seed=9)
+        base = dict(batch_size=6, validation_split=0.0, buckets=(256,))
+        plain = fetch_dataloader(events=events, **base)["train"]
+        cell = fetch_dataloader(events=events, presort_eta=True,
+                                presort_mode="cell", **base)["train"]
+        halo = cell.required_halo(0.4)
+        halo = max(64, -(-halo // 64) * 64)
+        cfg = Config(graph=GraphConfig(mode="window", window_halo=halo),
+                     data=DataConfig(batch_size=6, node_buckets=(256,)))
+        cfg_pre = dataclasses.replace(
+            cfg, graph=dataclasses.replace(cfg.graph, presorted=True))
+
+        s1 = init_train_state(*graph_met_init(jax.random.PRNGKey(0)), cfg)
+        s2 = init_train_state(*graph_met_init(jax.random.PRNGKey(0)),
+                              cfg_pre)
+        (b1,) = list(plain)
+        (b2,) = list(cell)
+        s1, l1 = make_train_step(cfg)(s1, b1)
+        s2, l2 = make_train_step(cfg_pre)(s2, b2)
+        assert abs(float(l1) - float(l2)) < 1e-5 * max(1.0, abs(float(l1)))
+        # Post-Adam params: fp reduction order differs between row orders,
+        # and Adam's first step is ~lr*sign(g), so a near-zero grad whose
+        # fp-noise-level sign flips moves the param by up to 2*lr — that is
+        # the right bound here, not a kernel-accuracy statement (kernel
+        # parity at 1e-5 on identical orders is tests/test_window.py's job).
+        lr = cfg.optim.lr
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
+                                                    atol=2.05 * lr),
+            s1.params, s2.params)

@@ -291,3 +291,115 @@ class TestPaddedNodeContract:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(dwp), np.asarray(dwx),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestCellOrder:
+    """Cell-list (eta-bin, phi) ordering: the window machinery is
+    order-agnostic given halo >= required_span on the actual order; the
+    cell order is what makes the kernel's per-chunk phi prune effective."""
+
+    def _cell_setup(self, seed=0, n_events=4, n_min=100, n_max=250,
+                    cap=256):
+        from deepmetv2_tpu.data.sorting import cell_sort_batch
+
+        events = synthetic_events(n_events, seed=seed, n_min=n_min,
+                                  n_max=n_max)
+        batch = collate(events, buckets=(cap,))
+        batch = cell_sort_batch(batch, r=0.4)
+        phi = jnp.arctan2(batch.x_cont[..., 1], batch.x_cont[..., 0])
+        etaphi = jnp.stack([batch.x_cont[..., 3], phi], axis=-1)
+        return batch, etaphi
+
+    def test_required_span_matches_bruteforce(self):
+        from deepmetv2_tpu.data.sorting import required_span_arrays
+
+        rng = np.random.default_rng(7)
+        eta = rng.uniform(-3, 3, (3, 64)).astype(np.float32)
+        phi = rng.uniform(-np.pi, np.pi, (3, 64)).astype(np.float32)
+        mask = rng.random((3, 64)) < 0.8
+        got = required_span_arrays(eta, phi, mask, 0.7)
+        worst = 0
+        for b in range(3):
+            e, p = eta[b][mask[b]], phi[b][mask[b]]
+            for i in range(len(e)):
+                for j in range(len(e)):
+                    if (e[i]-e[j])**2 + (p[i]-p[j])**2 < 0.49:
+                        worst = max(worst, abs(i - j))
+        assert got == worst
+
+    def test_cell_sorted_pallas_matches_neighbor_list(self):
+        import jax
+
+        from deepmetv2_tpu.data.sorting import required_span_batch
+        from deepmetv2_tpu.ops.pallas.edgeconv_window import (
+            window_edgeconv_linear_pallas,
+        )
+        from deepmetv2_tpu.ops.segment import gather_neighbors
+
+        batch, etaphi = self._cell_setup()
+        halo = required_span_batch(batch, 0.4)
+        halo = max(64, -(-halo // 64) * 64)
+        g = WindowGraph(etaphi, batch.mask, r=0.4, halo=halo)
+        rng = np.random.default_rng(1)
+        H = 32
+        x = jnp.asarray(rng.normal(size=batch.mask.shape + (H,))
+                        .astype(np.float32))
+        x = jnp.where(jnp.asarray(batch.mask)[..., None], x, 0.0)
+        w = jnp.asarray(rng.normal(size=(2 * H, H)).astype(np.float32) * .1)
+        b = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * .1)
+
+        # oracle: uncapped explicit neighbor lists on the SAME row order
+        nbr = radius_graph(etaphi, jnp.asarray(batch.mask), r=0.4,
+                           k=batch.mask.shape[1])
+        want = edgeconv_linear(x, nbr, w, b, "max")
+        got = window_edgeconv_linear_pallas(x, g, w, b, tile=16,
+                                            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+        # gradients: same loss through both paths
+        def loss(fn):
+            return lambda x, w: jnp.sum(fn(x, w) ** 2)
+
+        gx1, gw1 = jax.grad(loss(lambda x, w: edgeconv_linear(
+            x, nbr, w, b, "max")), argnums=(0, 1))(x, w)
+        gx2, gw2 = jax.grad(loss(lambda x, w: window_edgeconv_linear_pallas(
+            x, g, w, b, tile=16, interpret=True)), argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw1),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_cell_order_prunes_more_chunks_than_eta_order(self):
+        """The point of the cell order: fewer needed chunks than the eta
+        order on the same events (the kernel skips the rest).  Needs
+        reference-scale events — blocks must hold several tiles for the
+        per-tile phi windows to be narrow."""
+        from deepmetv2_tpu.data.sorting import (cell_sort_batch,
+                                                required_span_batch)
+        from deepmetv2_tpu.ops.pallas.edgeconv_window import (
+            _bounds_or_static, _grid_params, PAD_POS)
+
+        N = 2048
+        events = synthetic_events(8, seed=2, n_min=N - 256, n_max=N - 1)
+        base = collate(events, buckets=(N,))
+
+        def needed_count(batch, halo):
+            phi = jnp.arctan2(batch.x_cont[..., 1], batch.x_cont[..., 0])
+            pos = jnp.stack([jnp.asarray(batch.x_cont[..., 3]), phi], -1)
+            pos = jnp.where(jnp.asarray(batch.mask)[..., None], pos,
+                            PAD_POS)
+            tile = wchunk = 16
+            halo_pad, w_win, extra = _grid_params(N, halo, tile, wchunk)
+            lo, hi = _bounds_or_static(
+                pos, halo_pad, extra, w_win, tile, 0.16, 4, 2, N // tile,
+                wchunk)
+            return int(np.sum(np.asarray(hi) - np.asarray(lo)))
+
+        eta_b, _ = sort_by_eta(base)
+        eta_halo = max(64, -(-required_halo(eta_b, 0.4) // 64) * 64)
+        cell_b = cell_sort_batch(base, r=0.4)
+        cell_halo = max(64, -(-required_span_batch(cell_b, 0.4) // 64) * 64)
+        n_eta = needed_count(eta_b, eta_halo)
+        n_cell = needed_count(cell_b, cell_halo)
+        assert n_cell < 0.85 * n_eta, (n_cell, n_eta)
