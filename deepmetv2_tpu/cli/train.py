@@ -98,8 +98,10 @@ def apply_graph_mode(cfg: Config, args, all_events, presorted: bool = False,
     if args.graph_mode != "window":
         return cfg
     if loaders is not None:
-        halo = max(ld.required_halo(cfg.graph.delta_r)
-                   for ld in loaders if len(ld))
+        spans = [ld.required_halo(cfg.graph.delta_r)
+                 for ld in loaders if len(ld)]
+        halo = (max(spans) if spans
+                else required_halo_events(all_events, cfg.graph.delta_r))
     else:
         halo = required_halo_events(all_events, cfg.graph.delta_r)
     halo = max(64, -(-halo // 64) * 64)
@@ -109,8 +111,25 @@ def apply_graph_mode(cfg: Config, args, all_events, presorted: bool = False,
                                        presorted=presorted))
 
 
+def parse_mesh(spec):
+    """'D' or 'DxN' → (n_data, n_node), with a readable error on malformed
+    values like '4x' or '2x4x1'."""
+    if not spec:
+        return None
+    parts = spec.lower().split("x")
+    try:
+        dims = [int(p) for p in parts]
+    except ValueError:
+        dims = []
+    if not dims or len(dims) > 2 or any(d < 1 for d in dims):
+        raise SystemExit(f"--mesh: expected 'D' or 'DxN' with positive "
+                         f"integers (e.g. 4 or 2x4), got {spec!r}")
+    return (dims[0], dims[1] if len(dims) > 1 else 1)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    mesh_dims = parse_mesh(args.mesh)
 
     from deepmetv2_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -144,8 +163,7 @@ def main(argv=None) -> int:
     # the compiled steps never run a device argsort.  Default row order is
     # 'cell' (fastest kernel layout); edge-partitioned runs use 'eta',
     # which minimizes the halo exchanged between node shards.
-    ep_run = bool(args.mesh and "x" in args.mesh.lower()
-                  and int(args.mesh.lower().split("x")[1]) > 1)
+    ep_run = bool(mesh_dims and mesh_dims[1] > 1)
     sort_mode = args.sort_mode or ("eta" if ep_run else "cell")
     if args.sort_mode == "cell" and ep_run:
         raise SystemExit("--sort_mode cell is incompatible with an "
@@ -218,11 +236,9 @@ def main(argv=None) -> int:
     state = init_train_state(params, bn_state, cfg)
 
     mesh, shard_nodes = None, False
-    if args.mesh:
+    if mesh_dims:
         from deepmetv2_tpu.parallel.mesh import make_mesh
-        parts = args.mesh.lower().split("x")
-        n_data = int(parts[0])
-        n_node = int(parts[1]) if len(parts) > 1 else 1
+        n_data, n_node = mesh_dims
         if cfg.data.batch_size % n_data != 0:
             raise SystemExit(f"--mesh: batch_size {cfg.data.batch_size} "
                              f"not divisible by data axis {n_data}")

@@ -140,3 +140,22 @@ def collate(
         y=ys,
         num_valid=nv,
     )
+
+
+def pad_batch_events(batch: EventBatch, to: int) -> EventBatch:
+    """Pad the batch axis with empty events (``num_valid == 0``) up to
+    ``to`` rows.  Losses and metrics exclude empty events (train/loss.py,
+    train/metrics.finalize_resolutions), so a padded batch produces
+    bit-identical results — this is how odd-sized final eval batches are
+    kept sharded over a mesh's data axis instead of falling back to one
+    device."""
+    B = batch.batch_size
+    if to <= B:
+        return batch
+    pad = to - B
+
+    def padarr(a):
+        a = np.asarray(a)
+        return np.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+
+    return EventBatch(*(padarr(f) for f in batch))

@@ -138,6 +138,11 @@ class PaddedLoader:
         graph.window_halo).  Builds the batch cache on first use."""
         from deepmetv2_tpu.data import sorting
 
+        if self._cache is not None and not self._cache and len(self):
+            # first use collates (and caches) the full epoch host-side —
+            # make the startup latency visible instead of silent
+            print(f"sizing window halo: collating {len(self)} batches "
+                  f"({len(self.indices)} events) on the host (cached)")
         worst = 0
         for b in self:
             if self.presort_eta and self.presort_mode == "cell":

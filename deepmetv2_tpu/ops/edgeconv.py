@@ -51,8 +51,11 @@ Graph = Union[Neighborhood, WindowGraph]
 
 
 def _on_tpu() -> bool:
+    """True only on an actual TPU backend: the Pallas window kernel is
+    Mosaic/TPU-specific, so any other backend (CPU tests, GPU) must take
+    the portable XLA formulation."""
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 

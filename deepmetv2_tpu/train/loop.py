@@ -107,6 +107,37 @@ def evaluate(params, bn_state, eval_step, loader: PaddedLoader,
     return metrics_mean, hists
 
 
+def make_sharded_eval(cfg: Config, mesh, model: str = "graphmet"):
+    """(eval_step, eval_place) for mesh evaluation — data-parallel over the
+    mesh's data axis (node-axis sharding buys nothing for the forward-only
+    pass at these sizes).  Odd-sized batches are padded with empty events
+    (``num_valid == 0``, excluded from loss/metrics — train/loss.py,
+    train/metrics.finalize_resolutions) up to a data-axis multiple, so
+    EVERY batch shards over the mesh: no single-device fallback."""
+    from deepmetv2_tpu.data.batching import pad_batch_events
+    from deepmetv2_tpu.parallel.dp import (make_dp_eval_step,
+                                           make_drn_dp_eval_step)
+    from deepmetv2_tpu.parallel.mesh import DATA_AXIS, shard_batch
+
+    raw_eval = (make_drn_dp_eval_step(cfg, mesh) if model == "drn"
+                else make_dp_eval_step(cfg, mesh))
+    n_data = mesh.shape[DATA_AXIS]
+
+    def _pad_to_axis(b):
+        rem = b.batch_size % n_data
+        return pad_batch_events(b, b.batch_size + n_data - rem) if rem else b
+
+    def eval_place(b):
+        return shard_batch(_pad_to_axis(b), mesh, False)
+
+    def eval_step(params, bn_state, batch):
+        with mesh:
+            return raw_eval(params, bn_state,
+                            shard_batch(_pad_to_axis(batch), mesh, False))
+
+    return eval_step, eval_place
+
+
 def fit(
     state: TrainState,
     cfg: Config,
@@ -128,8 +159,9 @@ def fit(
     multi-chip: data-parallel over the ``data`` axis, and with
     ``shard_nodes=True`` edge-partitioned over the ``node`` axis (window
     mode, halo exchange).  Evaluation is data-parallel over the same mesh
-    (per-event metric decomposition shards trivially); if the eval batch
-    size does not divide over the data axis it falls back to one device.
+    (per-event metric decomposition shards trivially); odd-sized eval
+    batches are padded with empty events to a data-axis multiple so they
+    stay sharded (see make_sharded_eval).
 
     Multi-host safe: on a multi-process cluster every process computes,
     but only process 0 writes checkpoints/logs/artifacts."""
@@ -140,13 +172,11 @@ def fit(
     if primary:
         os.makedirs(ckpt_dir, exist_ok=True)
     if mesh is not None:
-        from deepmetv2_tpu.parallel.dp import (make_dp_eval_step,
-                                               make_dp_train_step,
-                                               make_drn_dp_eval_step,
+        from deepmetv2_tpu.parallel.dp import (make_dp_train_step,
                                                make_drn_dp_train_step)
         from deepmetv2_tpu.parallel.dyn import make_drn_ep_train_step
         from deepmetv2_tpu.parallel.ep import make_ep_train_step
-        from deepmetv2_tpu.parallel.mesh import DATA_AXIS, shard_batch
+        from deepmetv2_tpu.parallel.mesh import shard_batch
         if model == "drn":
             raw_step = (make_drn_ep_train_step(cfg, mesh) if shard_nodes
                         else make_drn_dp_train_step(cfg, mesh))
@@ -159,34 +189,12 @@ def fit(
                 return raw_step(state,
                                 shard_batch(batch, mesh, shard_nodes))
 
-        n_data = mesh.shape[DATA_AXIS]
-        if model == "drn":
-            from deepmetv2_tpu.train.step import make_drn_eval_step
-            raw_eval = make_drn_dp_eval_step(cfg, mesh)
-            fallback_eval = make_drn_eval_step(cfg)
-        else:
-            raw_eval = make_dp_eval_step(cfg, mesh)
-            fallback_eval = make_eval_step(cfg)
+        eval_step, eval_place = make_sharded_eval(cfg, mesh, model)
 
-        # prefetch placements: stage batches pre-sharded so the steps'
+        # prefetch placement: stage batches pre-sharded so the steps'
         # internal shard_batch/device_put is a no-op
         def train_place(b):
             return shard_batch(b, mesh, shard_nodes)
-
-        def eval_place(b):
-            if b.batch_size % n_data:
-                return jax.device_put(b)
-            return shard_batch(b, mesh, False)
-
-        def eval_step(params, bn_state, batch):
-            # eval batches shard over the data axis only (node-axis
-            # sharding buys nothing for the forward-only pass at these
-            # sizes); odd-sized final batches fall back to one device
-            if batch.batch_size % n_data:
-                return fallback_eval(params, bn_state, batch)
-            with mesh:
-                return raw_eval(params, bn_state,
-                                shard_batch(batch, mesh, False))
     elif model == "drn":
         from deepmetv2_tpu.train.step import (make_drn_eval_step,
                                               make_drn_train_step)

@@ -377,3 +377,56 @@ class TestRingKNN:
         for b in range(2):
             for i in range(32):
                 assert i in idx[b, i]
+
+
+class TestShardedEvalRemainder:
+    def test_odd_batch_pads_and_matches_single_device(self):
+        """A batch whose size does not divide the data axis must still run
+        sharded (padded with empty events) and reproduce the single-device
+        loss and weights exactly."""
+        from deepmetv2_tpu.train.loop import make_sharded_eval
+        from deepmetv2_tpu.train.step import make_eval_step
+
+        cfg = _cfg()
+        batch = _batch(6)              # 6 events on a 4-wide data axis
+        params, bn_state = graph_met_init(jax.random.PRNGKey(5))
+
+        w1, loss1, _ = make_eval_step(cfg)(params, bn_state, batch)
+        mesh = make_mesh(n_data=4, n_node=1)
+        eval_step, eval_place = make_sharded_eval(cfg, mesh)
+        w2, loss2, _ = eval_step(params, bn_state, batch)
+
+        assert w2.shape[0] == 8        # padded to the data-axis multiple
+        assert np.isclose(float(loss1), float(loss2), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(w1), np.asarray(w2)[:6],
+                                   rtol=1e-5, atol=1e-6)
+        # the placement path pads identically and shards over the mesh
+        placed = eval_place(batch)
+        assert placed.batch_size == 8
+        assert int(np.sum(np.asarray(placed.num_valid)[6:])) == 0
+
+    def test_pad_batch_events_semantics(self):
+        from deepmetv2_tpu.data.batching import pad_batch_events
+
+        b = _batch(3)
+        p = pad_batch_events(b, 8)
+        assert p.batch_size == 8
+        np.testing.assert_array_equal(np.asarray(p.x_cont[:3]),
+                                      np.asarray(b.x_cont))
+        assert not np.any(np.asarray(p.mask[3:]))
+        assert np.all(np.asarray(p.num_valid[3:]) == 0)
+        # no-op when already large enough
+        assert pad_batch_events(b, 3) is b
+
+
+class TestBackendDispatch:
+    def test_xla_path_on_non_tpu(self, monkeypatch):
+        """The Mosaic window kernel is TPU-only: any other backend (CPU
+        here, GPU hypothetically) must route to the XLA formulation."""
+        from deepmetv2_tpu.ops import edgeconv as ec
+
+        assert ec._on_tpu() is False          # conftest pins CPU
+        monkeypatch.setattr(jax, "default_backend", lambda: "gpu")
+        assert ec._on_tpu() is False
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert ec._on_tpu() is True
