@@ -35,13 +35,14 @@ from deepmetv2_tpu.ops.window import WindowGraph, window_max_xla
 PAD_POS = 1e9
 
 
-def _halo_exchange(arr: jnp.ndarray, halo: int, axis_name: str,
-                   n_shards: int, boundary_value: float) -> jnp.ndarray:
-    """[B, n_loc, F] → [B, halo + n_loc + halo, F]: receive the right edge
-    of the left neighbor and the left edge of the right neighbor.  Ring
-    ends are filled with ``boundary_value`` (ppermute leaves missing
-    sources as zeros, which would alias real data)."""
-    B, n_loc, F = arr.shape
+def _edge_exchange(arr: jnp.ndarray, halo: int, axis_name: str,
+                   n_shards: int, boundary):
+    """Exchange boundary strips with the two ring neighbors: returns
+    ``(from_left, from_right)``, each ``[B, halo, F]`` — the right edge of
+    the left neighbor and the left edge of the right neighbor.  Ring ends
+    are filled with ``boundary`` (a scalar or per-feature [F] vector;
+    ppermute leaves missing sources as zeros, which would alias real
+    data)."""
     send_right = arr[:, -halo:]       # becomes right neighbor's left halo
     send_left = arr[:, :halo]         # becomes left neighbor's right halo
     from_left = jax.lax.ppermute(
@@ -49,8 +50,16 @@ def _halo_exchange(arr: jnp.ndarray, halo: int, axis_name: str,
     from_right = jax.lax.ppermute(
         send_left, axis_name, [(i + 1, i) for i in range(n_shards - 1)])
     idx = jax.lax.axis_index(axis_name)
-    from_left = jnp.where(idx == 0, boundary_value, from_left)
-    from_right = jnp.where(idx == n_shards - 1, boundary_value, from_right)
+    from_left = jnp.where(idx == 0, boundary, from_left)
+    from_right = jnp.where(idx == n_shards - 1, boundary, from_right)
+    return from_left, from_right
+
+
+def _halo_exchange(arr: jnp.ndarray, halo: int, axis_name: str,
+                   n_shards: int, boundary_value: float) -> jnp.ndarray:
+    """[B, n_loc, F] → [B, halo + n_loc + halo, F] halo-extended shard."""
+    from_left, from_right = _edge_exchange(arr, halo, axis_name, n_shards,
+                                           boundary_value)
     return jnp.concatenate([from_left, arr, from_right], axis=1)
 
 
@@ -63,10 +72,21 @@ def window_max_sharded(
     node_axis: str = "node",
     data_axis: Optional[str] = "data",
     interpret: bool = False,
+    overlap: bool = True,
 ) -> jnp.ndarray:
     """Node-sharded masked window max: numerically identical to the
     single-device ``window_max`` but with the node axis partitioned over
-    ``mesh[node_axis]`` and halos exchanged via ppermute."""
+    ``mesh[node_axis]`` and halos exchanged via ppermute.
+
+    ``overlap=True`` (default, requires shard size >= 2·halo) uses the
+    split schedule: the ppermutes are issued FIRST, then the interior rows
+    (queries >= halo from the shard edges — their whole window is local)
+    are computed as a pure function of the local shard, with no data
+    dependency on the collectives, so XLA's async collective machinery can
+    run the exchange and the interior aggregation concurrently; the two
+    boundary strips (one batched kernel call) consume the halos last.
+    ``overlap=False`` (or shard < 2·halo) is plain exchange-then-compute.
+    """
     n_shards = mesh.shape[node_axis]
     # align the exchanged halo so the local kernel's tiling stays aligned
     halo_pad = -(-halo // 64) * 64
@@ -77,24 +97,50 @@ def window_max_sharded(
             f"({c.shape[1]} nodes / {n_shards} shards): single-hop halo "
             f"exchange needs shard >= halo; use fewer node shards or a "
             f"larger node bucket")
+    overlap = overlap and n_loc >= 2 * halo_pad
 
-    def local(c_loc, pos_loc):
+    def kernel(c_arr, pos_arr):
+        """Masked window max on one halo-self-contained array."""
+        if interpret or jax.default_backend() == "cpu":
+            mask = pos_arr[..., 0] < PAD_POS / 2
+            return window_max_xla(c_arr, pos_arr, mask, r2, halo_pad)
+        from deepmetv2_tpu.ops.pallas.edgeconv_window import window_max
+
+        return window_max(c_arr, pos_arr, r2, halo_pad)
+
+    def local_overlap(c_loc, pos_loc):
+        B, _, H = c_loc.shape
+        h = halo_pad
+        # 1. issue the halo exchange — ONE fused [c ‖ pos] message pair so
+        # both rides leave together; ring-end fill is per-feature (0 for c,
+        # PAD_POS for pos so missing rows are never adjacent).
+        payload = jnp.concatenate([c_loc, pos_loc], axis=-1)
+        fill = jnp.concatenate([jnp.zeros((H,), c_loc.dtype),
+                                jnp.full((2,), PAD_POS, pos_loc.dtype)])
+        fl, fr = _edge_exchange(payload, h, node_axis, n_shards, fill)
+        # 2. interior rows — computed from the LOCAL shard only (edge rows
+        # of m_local see truncated windows and are discarded below); no
+        # dependency on fl/fr, so this overlaps with the exchange.
+        m_local = kernel(c_loc, pos_loc)
+        # 3. boundary strips: left queries [0,h) need [from_left ‖ local
+        # rows [0,2h)]; right queries [n_loc-h, n_loc) the mirror.  Batched
+        # into one kernel call; queries sit at strip rows [h, 2h).
+        left = jnp.concatenate([fl, payload[:, : 2 * h]], axis=1)
+        right = jnp.concatenate([payload[:, -2 * h:], fr], axis=1)
+        strip = jnp.concatenate([left, right], axis=0)    # [2B, 3h, H+2]
+        m_strip = kernel(strip[..., :H], strip[..., H:])
+        m_left, m_right = m_strip[:B, h: 2 * h], m_strip[B:, h: 2 * h]
+        return jnp.concatenate([m_left, m_local[:, h:-h], m_right], axis=1)
+
+    def local_serial(c_loc, pos_loc):
         c_ext = _halo_exchange(c_loc, halo_pad, node_axis, n_shards, 0.0)
         pos_ext = _halo_exchange(pos_loc, halo_pad, node_axis, n_shards,
                                  PAD_POS)
-        # mask: PAD_POS rows are never adjacent -> derive from positions
-        mask_ext = pos_ext[..., 0] < PAD_POS / 2
-        if interpret or jax.default_backend() == "cpu":
-            m_ext = window_max_xla(c_ext, pos_ext, mask_ext, r2, halo_pad)
-        else:
-            from deepmetv2_tpu.ops.pallas.edgeconv_window import window_max
-
-            m_ext = window_max(c_ext, pos_ext, r2, halo_pad)
-        return m_ext[:, halo_pad:-halo_pad]
+        return kernel(c_ext, pos_ext)[:, halo_pad:-halo_pad]
 
     bspec = P(data_axis, node_axis, None) if data_axis else P(None, node_axis, None)
     return shard_map(
-        local, mesh=mesh,
+        local_overlap if overlap else local_serial, mesh=mesh,
         in_specs=(bspec, bspec),
         out_specs=bspec,
         check_vma=False,

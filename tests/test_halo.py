@@ -81,6 +81,113 @@ class TestHaloSharded:
         np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("overlap", [True, False])
+    def test_overlap_schedule_matches_single_device(self, overlap):
+        """The split (interior ‖ exchange, then boundary strips) schedule
+        must be numerically identical to exchange-then-compute and to the
+        single-device window max."""
+        from deepmetv2_tpu.ops.window import window_max_xla
+
+        rng = np.random.default_rng(3)
+        B, N, H, halo = 2, 512, 4, 64           # n_loc=256 >= 2*halo
+        eta = np.sort(rng.uniform(-4, 4, (B, N)).astype(np.float32), axis=1)
+        phi = rng.uniform(-np.pi, np.pi, (B, N)).astype(np.float32)
+        pos = jnp.asarray(np.stack([eta, phi], -1))
+        c = jnp.asarray(rng.normal(size=(B, N, H)).astype(np.float32))
+        mesh = make_mesh(n_data=1, n_node=2)
+        with mesh:
+            m = jax.jit(lambda c: window_max_sharded(
+                c, pos, r2=0.16, halo=halo, mesh=mesh, data_axis=None,
+                interpret=True, overlap=overlap))(c)
+        want = window_max_xla(c, pos, jnp.ones((B, N), bool), 0.16, halo)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(want), rtol=1e-6)
+
+    def test_overlap_grad_matches_serial(self):
+        rng = np.random.default_rng(4)
+        B, N, H, halo = 1, 512, 4, 64
+        eta = np.sort(rng.uniform(-4, 4, (B, N)).astype(np.float32), axis=1)
+        pos = jnp.asarray(np.stack([eta, np.zeros_like(eta)], -1))
+        c = jnp.asarray(rng.normal(size=(B, N, H)).astype(np.float32))
+        mesh = make_mesh(n_data=1, n_node=4)
+
+        def loss(c, ov):
+            m = window_max_sharded(c, pos, r2=0.16, halo=halo, mesh=mesh,
+                                   data_axis=None, interpret=True, overlap=ov)
+            return jnp.sum(jnp.where(jnp.isfinite(m), m, 0.0) ** 2)
+
+        with mesh:
+            g_ov = jax.jit(jax.grad(lambda c: loss(c, True)))(c)
+            g_ser = jax.jit(jax.grad(lambda c: loss(c, False)))(c)
+        np.testing.assert_allclose(np.asarray(g_ov), np.asarray(g_ser),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_overlap_interior_independent_of_collectives(self):
+        """The load-bearing property of the split schedule: the interior
+        window aggregation must have NO data dependency on the ppermute
+        results, so XLA's async-collective scheduler is free to overlap the
+        exchange with it (VERDICT r2 #2).  Verified on the jaxpr dependency
+        graph: the middle operand of the output stitch (the interior rows)
+        must not transitively depend on any ppermute output."""
+        rng = np.random.default_rng(5)
+        B, N, H, halo = 1, 512, 4, 64
+        eta = np.sort(rng.uniform(-4, 4, (B, N)).astype(np.float32), axis=1)
+        pos = jnp.asarray(np.stack([eta, np.zeros_like(eta)], -1))
+        c = jnp.asarray(rng.normal(size=(B, N, H)).astype(np.float32))
+        mesh = make_mesh(n_data=1, n_node=2)
+        with mesh:
+            jaxpr = jax.make_jaxpr(lambda c: window_max_sharded(
+                c, pos, r2=0.16, halo=halo, mesh=mesh, data_axis=None,
+                interpret=True, overlap=True))(c)
+
+        def find_inner(jx):
+            """The shard_map body jaxpr (the one containing ppermute)."""
+            for eqn in jx.eqns:
+                for v in eqn.params.values():
+                    sub = getattr(v, "jaxpr", v)
+                    if hasattr(sub, "eqns"):
+                        if any(e.primitive.name == "ppermute"
+                               for e in sub.eqns):
+                            return sub
+                        deeper = find_inner(sub)
+                        if deeper is not None:
+                            return deeper
+            return None
+
+        inner = find_inner(jaxpr.jaxpr)
+        assert inner is not None, "no ppermute found in the traced program"
+        producers = {v: e for e in inner.eqns for v in e.outvars}
+        perm_vars = {v for e in inner.eqns if e.primitive.name == "ppermute"
+                     for v in e.outvars}
+
+        def ancestors(var):
+            from jax._src.core import Literal
+
+            seen, stack = set(), [var]
+            while stack:
+                v = stack.pop()
+                if isinstance(v, Literal):
+                    continue
+                e = producers.get(v)
+                if e is None or id(e) in seen:
+                    continue
+                seen.add(id(e))
+                yield e
+                stack.extend(iv for iv in e.invars
+                             if not isinstance(iv, Literal))
+            return
+
+        stitch = producers[inner.outvars[0]]
+        assert stitch.primitive.name == "concatenate" and len(stitch.invars) == 3
+        interior_deps = {v for e in ancestors(stitch.invars[1])
+                         for v in e.outvars}
+        assert not (interior_deps & perm_vars), (
+            "interior compute depends on a ppermute result — the overlap "
+            "schedule has been serialized")
+        # sanity: the boundary strips DO consume the exchange
+        strip_deps = {v for e in ancestors(stitch.invars[0])
+                      for v in e.outvars}
+        assert strip_deps & perm_vars
+
     def test_boundary_shards_masked(self):
         """Nodes near the global start/end must not see phantom neighbors
         from the ring wrap (ppermute fill)."""
