@@ -59,6 +59,11 @@ class DRNConfig:
     hidden_dim: int = 64
     output_dim: int = 2
     k: int = 16
+    # Undirected-degree cap of the symmetrized kNN graph (None -> 2k,
+    # ops/graph.to_undirected's default).  The reference's to_undirected
+    # is uncapped; nodes whose undirected degree exceeds the cap keep a
+    # truncated neighbor set (policy documented in ops/dyn_graph.py).
+    und_cap: "int | None" = None
     # 'add' is the DRN ctor default (model/dynamic_reduction_network.py:40)
     # and is what makes a *sum* target (MET) representable through the
     # pooling stack; the commented-out Net used 'max' (model/net.py:17).

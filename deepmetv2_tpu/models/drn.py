@@ -44,7 +44,7 @@ from deepmetv2_tpu.ops.coarsen import (
     max_pool,
     normalized_cut_weights,
 )
-from deepmetv2_tpu.ops.graph import knn_graph, to_undirected
+from deepmetv2_tpu.ops.graph import to_undirected
 from deepmetv2_tpu.ops.segment import gather_neighbors
 
 Params = Dict[str, Any]
@@ -134,11 +134,31 @@ def _drn_edgeconv(conv_params, bn_state, x, nbr: Neighborhood, aggr: str,
                   train: bool, gather_fn=gather_neighbors):
     """EdgeConv with the DRN's nonlinear edge-MLP + edge BatchNorm.
     ``gather_fn(x, nbr)`` fetches neighbor features — the node-sharded path
-    (parallel/dyn.py) swaps in an all-gather-backed gather."""
-    xi = x[:, :, None, :]
-    xj = gather_fn(x, nbr)
-    e = jnp.concatenate([jnp.broadcast_to(xi, xj.shape), xj - xi], axis=-1)
-    h = mlp_apply(conv_params["mlp"], e, final_act=True)   # ELU after each
+    (parallel/dyn.py) swaps in an all-gather-backed gather.
+
+    The first edge-MLP layer is *factored*: with W = [W_self; W_diff]
+    split over the concat [x_i ‖ x_j − x_i],
+
+        layer1(e) = x_i (W_self − W_diff) + x_j W_diff + b = a_i + c_j
+
+    so the per-edge [E, 2H] GEMM becomes two node-level GEMMs (MXU,
+    O(N·2H·F) instead of O(E·2H·F)) and the gather fetches the
+    precomputed per-source term c instead of raw features — the [B,N,K,2H]
+    edge-feature concat is never materialized.  Exact same math as the
+    concat form up to float summation order (the identical factorization
+    tier-1 EdgeConv uses, ops/edgeconv.py)."""
+    mlp = conv_params["mlp"]
+    H = x.shape[-1]
+    w0, b0 = mlp["lin0"]["w"], mlp["lin0"]["b"]
+    w_self, w_diff = w0[:H], w0[H:]
+    a = jnp.einsum("bnh,hf->bnf", x, w_self - w_diff,
+                   preferred_element_type=jnp.float32) + b0
+    c = jnp.einsum("bnh,hf->bnf", x, w_diff,
+                   preferred_element_type=jnp.float32)
+    cj = gather_fn(c, nbr)                                # [B, N, K, F]
+    h = elu(a[:, :, None, :] + cj)
+    for i in range(1, len(mlp)):                          # ELU after each
+        h = elu(linear_apply(mlp[f"lin{i}"], h))
     h, new_bn = _edge_batchnorm(conv_params["bn"], bn_state, h, nbr.mask,
                                 train)
     m = nbr.mask[..., None]
@@ -164,26 +184,45 @@ def drn_apply(
     cfg: DRNConfig = DRNConfig(),
     knn_fn=None,
     gather_fn=gather_neighbors,
+    graph_force=None,
+    graph_interpret: bool = False,
 ) -> Tuple[jnp.ndarray, State]:
     """Forward → per-event outputs [B, output_dim]
     (reference model/dynamic_reduction_network.py:82-103).
 
-    ``knn_fn(h, mask)`` / ``gather_fn(h, nbr)`` override the graph build
-    and neighbor fetch — the node-sharded DynamicEdgeConv (parallel/dyn.py)
-    injects its distributed top-k and all-gather-backed gather here."""
-    if knn_fn is None:
-        knn_fn = lambda h, m: knn_graph(h, m, k=cfg.k, loop=False)
+    Default path: the fused dynamic-graph build + dense cut matching
+    (ops/dyn_graph.py — Pallas kernels on TPU, the composed XLA
+    formulation elsewhere; ``graph_force``/``graph_interpret`` pin a
+    strategy for tests).  ``knn_fn(h, mask)`` / ``gather_fn(h, nbr)``
+    override the graph build and neighbor fetch — the node-sharded
+    DynamicEdgeConv (parallel/dyn.py) injects its distributed top-k and
+    all-gather-backed gather here and keeps the list-based matching."""
+    from deepmetv2_tpu.ops.dyn_graph import build_dyn_graph, cut_matching
+
     h = params["datanorm"] * x
     h = mlp_apply(params["inputnet"], h, final_act=True)
 
     new_states: List[BatchNormState] = []
     for r in range(cfg.pool_rounds):
-        nbr = to_undirected(knn_fn(h, mask))
+        if knn_fn is None:
+            g = build_dyn_graph(h, mask, k=cfg.k, cap=cfg.und_cap,
+                                force=graph_force,
+                                interpret=graph_interpret)
+            nbr = g.nbr
+        else:
+            g = None
+            nbr = to_undirected(knn_fn(h, mask), cap=cfg.und_cap)
         h, bn_s = _drn_edgeconv(params["convs"][r], state["convs"][r], h,
                                 nbr, cfg.aggr, train, gather_fn)
         new_states.append(bn_s)
-        w = normalized_cut_weights(h, nbr)
-        cluster, partner = handshake_matching(w, nbr, mask)
+        if g is not None:
+            cluster, partner = cut_matching(g, h, mask)
+        else:
+            # graph structure is discrete — no gradient flows through the
+            # matching weights (the composed path used to compute a dead
+            # backward through this gather every step)
+            w = normalized_cut_weights(jax.lax.stop_gradient(h), nbr)
+            cluster, partner = handshake_matching(w, nbr, mask)
         h, mask = max_pool(h, cluster, partner, mask)
 
     pooled = global_max_pool(h, mask)
@@ -193,7 +232,8 @@ def drn_apply(
 
 def drn_net_apply(params, state, batch: EventBatch, train: bool = False,
                   cfg: DRNConfig = DRNConfig(), knn_fn=None,
-                  gather_fn=gather_neighbors):
+                  gather_fn=gather_neighbors, graph_force=None,
+                  graph_interpret: bool = False):
     """Output head on top of ``drn_apply``.
 
     ``cfg.head == 'polar'``: the commented-out DRN ``Net`` head (reference
@@ -203,7 +243,8 @@ def drn_net_apply(params, state, batch: EventBatch, train: bool = False,
     x = jnp.concatenate(
         [batch.x_cont, batch.x_cat.astype(batch.x_cont.dtype)], axis=-1)
     out, new_state = drn_apply(params, state, x, batch.mask, train, cfg,
-                               knn_fn, gather_fn)
+                               knn_fn, gather_fn, graph_force,
+                               graph_interpret)
     if cfg.head == "cartesian":
         return cfg.output_scale * out[:, 0:2], new_state
     met = cfg.output_scale * jax.nn.softplus(out[:, 0:1])

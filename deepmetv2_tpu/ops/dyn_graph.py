@@ -1,0 +1,156 @@
+"""Dynamic-graph build + coarsening-matching dispatch for the DRN family.
+
+One DRN reduction round needs (reference
+model/dynamic_reduction_network.py:86-99):
+
+  1. the symmetrized feature-space kNN graph of the CURRENT features —
+     consumed by the EdgeConv gather;
+  2. normalized-cut edge weights of the POST-conv features on that graph —
+     consumed (only) by the discrete heavy-edge matching.
+
+Both structures are non-differentiable (indices; weights feed an argmax
+matching), so the whole build runs under ``stop_gradient`` — the XLA
+composition used to drag a dead backward through the normalized-cut
+feature gather every step.
+
+Two execution strategies, same semantics:
+
+  * **fused (TPU)** — ``ops/pallas/knn_und.knn_und_graph`` builds the
+    undirected list + per-edge d² + per-node k-th-NN thresholds in two
+    VMEM-resident kernels (no sorts, no adjacency inversion); matching
+    then runs on the *dense threshold relation*
+    (``coarsen.handshake_matching_dense``): U(i,j) = d²≤t_i ∨ d²≤t_j is a
+    pure elementwise predicate, so each round is [B,N,N] masking + a row
+    argmax — no per-round index gathers at all.
+  * **composed (portable)** — ``to_undirected(knn_graph(...))`` +
+    ``normalized_cut_weights`` + list-based ``handshake_matching``; the
+    reference-semantics implementation every platform can run and the
+    oracle the fused path is tested against.
+
+Divergences of the fused path (documented, generic-position-identical):
+degree>cap keeps the cap lowest-indexed neighbors (composed drops
+mutually); the dense matching sees the *uncapped* threshold relation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from deepmetv2_tpu.data.batching import Neighborhood
+from deepmetv2_tpu.ops.coarsen import (
+    handshake_matching,
+    handshake_matching_dense,
+    normalized_cut_weights,
+)
+from deepmetv2_tpu.ops.graph import knn_graph, to_undirected
+
+# Above this node count the dense [B,N,N] matching buffers get heavy
+# (8 events x 8192² x 4B = 2.1 GB); fall back to the list formulation.
+DENSE_MATCH_MAX_N = 4096
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["nbr", "d2v", "t", "h0"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class DynGraph:
+    """One round's dynamic graph.  ``d2v``/``t``/``h0`` are populated by
+    the fused TPU build (None on the composed path): per-listed-edge
+    squared distances, per-node k-th-NN thresholds, and the (stop-
+    gradient-ed) features the graph was built from."""
+
+    nbr: Neighborhood
+    d2v: Optional[jnp.ndarray]   # [B, N, cap] or None
+    t: Optional[jnp.ndarray]     # [B, N] or None
+    h0: Optional[jnp.ndarray]    # [B, N, H] or None
+
+
+def _fused_available(n: int, cap: int, interpret: bool) -> bool:
+    from deepmetv2_tpu.ops.pallas.knn_und import supported
+
+    if not supported(n, cap):
+        return False
+    if interpret:
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def build_dyn_graph(
+    h: jnp.ndarray,      # [B, N, H]
+    mask: jnp.ndarray,   # [B, N]
+    k: int = 16,
+    cap: Optional[int] = None,
+    force: Optional[str] = None,   # None (auto) | 'fused' | 'composed'
+    interpret: bool = False,
+) -> DynGraph:
+    """Symmetrized feature-space kNN graph of ``h`` (equivalent of
+    ``to_undirected(knn_graph(h, mask, k))``), strategy per module
+    docstring.  Always non-differentiable."""
+    cap = 2 * k if cap is None else cap
+    h = jax.lax.stop_gradient(h)
+    fused = (force == "fused" or
+             (force is None and _fused_available(h.shape[1], cap, interpret)))
+    if fused:
+        from deepmetv2_tpu.ops.pallas.knn_und import knn_und_graph
+
+        nbr, d2v, t = knn_und_graph(h, mask, k=k, cap=cap,
+                                    interpret=interpret)
+        return DynGraph(nbr=nbr, d2v=d2v, t=t, h0=h)
+    nbr = to_undirected(knn_graph(h, mask, k=k, loop=False), cap=cap)
+    return DynGraph(nbr=nbr, d2v=None, t=None, h0=None)
+
+
+def _pairwise_d2(h: jnp.ndarray) -> jnp.ndarray:
+    """[B,N,N] squared distances, |a|²+|b|²−2a·b (MXU form, same
+    association as the kernel / ops.graph)."""
+    sq = jnp.sum(h * h, axis=-1)
+    dot = jnp.einsum("bnh,bmh->bnm", h, h,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2.0 * dot, 0.0)
+
+
+def cut_matching(
+    g: DynGraph,
+    h: jnp.ndarray,      # [B, N, H] POST-conv features (weight distances)
+    mask: jnp.ndarray,
+    rounds: int = 4,
+):
+    """Normalized-cut-weighted handshake matching on ``g``
+    (reference normalized_cut + graclus,
+    model/dynamic_reduction_network.py:89-91).  Discrete — no gradient.
+
+    For N <= DENSE_MATCH_MAX_N the matching runs on a dense [B,N,N]
+    weight matrix: the adjacency is scattered once from the neighbor list
+    (exact list consistency — re-deriving it from distance thresholds is
+    equality-sensitive at the k-th edge, where d² == t by construction),
+    the edge distances come from one batched MXU pairwise-d² (no
+    [B,N,K,H] feature gather), and the per-round candidate masking is
+    elementwise (no [B,N,K] index gathers).  Weight VALUES differ from
+    the list formulation only in float association; matchings are
+    identical in generic position."""
+    h = jax.lax.stop_gradient(h)
+    B, N = mask.shape
+    if N <= DENSE_MATCH_MAX_N:
+        nbr = g.nbr
+        bi = jnp.arange(B)[:, None, None]
+        qi = jnp.arange(N)[None, :, None]
+        U = jnp.zeros((B, N, N), bool).at[bi, qi, nbr.idx].max(nbr.mask)
+        deg = jnp.sum(nbr.mask, axis=-1).astype(h.dtype)
+        ivd = 1.0 / jnp.maximum(deg, 1.0)
+        dist = jnp.sqrt(_pairwise_d2(h))
+        W = jnp.where(U, dist * (ivd[:, :, None] + ivd[:, None, :]),
+                      -jnp.inf)
+        return handshake_matching_dense(W, mask, rounds=rounds)
+    w = normalized_cut_weights(h, g.nbr)
+    return handshake_matching(w, g.nbr, mask, rounds=rounds)

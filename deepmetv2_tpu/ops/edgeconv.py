@@ -32,8 +32,11 @@ reference's design, and the gather-reduce is the only irregular op left.
 
 **Tier 2 — arbitrary edge-MLP** (DRN's 2-layer ELU MLP,
 model/dynamic_reduction_network.py:61-72): true gather-concat-MLP-reduce,
-materialized per node-tile to bound memory (Pallas-fused kernel in
-ops/pallas for the hot configuration).
+materialized per node-tile to bound memory.  This tier stays in XLA —
+the DRN's measured hot spots are its per-round GRAPH BUILD and matching,
+which run as Pallas kernels / dense formulations (ops/pallas/knn_und.py,
+ops/dyn_graph.py); the production DRN conv additionally factors the
+first MLP layer into node-level GEMMs (models/drn._drn_edgeconv).
 """
 
 from __future__ import annotations

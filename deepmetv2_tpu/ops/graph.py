@@ -50,7 +50,11 @@ def _pairwise_sq_dists(
         return jnp.sum(d * d, axis=-1)
     qq = jnp.sum(q * q, axis=-1)[:, None]
     pp = jnp.sum(p * p, axis=-1)[None, :]
-    qp = jnp.dot(q, p.T, preferred_element_type=jnp.float32)
+    # full-f32 MXU passes: the TPU-default (~bf16) quantization creates
+    # spurious k-th-place distance ties that make top-k tie-breaking (and
+    # the threshold form in ops/pallas/knn_und.py) data-dependent noise
+    qp = jnp.dot(q, p.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(qq + pp - 2.0 * qp, 0.0)
 
 

@@ -189,10 +189,12 @@ def make_bn_refresh_step(cfg: Config, model: str = "graphmet"):
     return refresh
 
 
-def make_drn_train_step(cfg: Config):
+def make_drn_train_step(cfg: Config, graph_force=None):
     """Train step for the DynamicReductionNetwork family.  No radius graph
     is built — the DRN rebuilds feature-space kNN graphs internally per
-    reduction round (reference model/dynamic_reduction_network.py:86,94)."""
+    reduction round (reference model/dynamic_reduction_network.py:86,94).
+    ``graph_force`` pins the dynamic-graph strategy ('fused'/'composed',
+    ops/dyn_graph.py) — bench/debug knob; None auto-selects."""
     from deepmetv2_tpu.models.drn import drn_net_apply
 
     opt = make_optimizer(cfg)
@@ -201,7 +203,8 @@ def make_drn_train_step(cfg: Config):
     def train_step(state: TrainState, batch: EventBatch):
         def objective(params):
             pred, new_bn = drn_net_apply(params, state.bn_state, batch,
-                                         train=True, cfg=cfg.drn)
+                                         train=True, cfg=cfg.drn,
+                                         graph_force=graph_force)
             return drn_loss_fn(pred, batch, cfg.drn.head), new_bn
 
         (loss, new_bn), grads = jax.value_and_grad(objective, has_aux=True)(
