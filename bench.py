@@ -43,6 +43,10 @@ Extras:
   * ``epoch_feed_*`` — end-to-end feed-pipeline wall-clock (sync vs
     double-buffered prefetch); these DO include tunnel dispatch, since
     that is what a feed pipeline experiences.
+  * ``drn``         — the DRN/DynamicEdgeConv family: fused Pallas
+    dynamic-graph build + dense matching vs the composed XLA
+    formulation, tier-2 EdgeConv, full train step both ways, and a
+    real-hardware fused-vs-composed parity gate (see _drn_section).
 """
 
 from __future__ import annotations
@@ -70,11 +74,14 @@ K_FAST = (10, 60)  # fast ops (sub-ms to few-ms per iteration)
 K_SLOW = (2, 6)    # slow ops (the reference-design baseline, ~80 ms/iter)
 
 # Sweep configs (VERDICT r1 #6): N x H grid, each timed at its best
-# (tile, wchunk) out of CANDIDATES.  Sweep timing is lighter than the
-# headline (fewer iters) — it ranks shapes, it doesn't set the metric.
+# (tile, subtile, wchunk) out of CANDIDATES.  Sweep timing is lighter
+# than the headline (fewer iters) — it ranks shapes, not the metric.
+# tile = supertile sharing one window DMA; subtile = prune granularity
+# (VERDICT r2 #3: the grid is widened beyond two points and includes the
+# DMA-amortizing supertiles).
 SWEEP_SHAPES = [(8, 512, 32), (8, 2048, 32), (8, 8192, 32),
                 (8, 512, 64), (8, 2048, 64), (8, 8192, 64)]
-CANDIDATES = [(16, 16), (32, 32)]  # (tile, wchunk)
+CANDIDATES = [(512, 16, 16), (128, 16, 16), (256, 32, 32), (32, 32, 32)]
 K_SWEEP = (5, 45)
 
 # v5e HBM peak bandwidth — denominator for the speed-of-light statement
@@ -225,12 +232,15 @@ def _kernel_bytes(b, n, h, halo, tile, wchunk) -> int:
     """HBM bytes-moved model for the Pallas window kernel, fwd+bwd: per
     grid step the kernel DMAs whole [w_win, 128] f32 windows (3 fwd / 4
     bwd) plus BlockSpec tile I/O (3 fwd / 4 bwd tiles of [tile, 128]).
-    The eta-interval prune skips compute, not DMA."""
+    The supertile design (r3) amortizes one window DMA across the whole
+    tile; the subtile interval prune skips compute, not DMA."""
     from deepmetv2_tpu.ops.pallas.edgeconv_window import (
-        LANE, _grid_params, _pack_factor)
+        LANE, _grid_params, _pack_factor, _pick_tiles)
 
     pack = _pack_factor(h)
     bp = -(-b // pack)
+    halo_pad = -(-halo // 64) * 64
+    tile, _, _ = _pick_tiles(tile, tile, wchunk, n, halo_pad)
     _, w_win, _ = _grid_params(n, halo, tile, wchunk)
     steps = bp * (n // tile)
     lanes = LANE if h <= LANE else h
@@ -324,14 +334,17 @@ def _sweep(on_tpu: bool) -> list:
         edges = _true_edges(etaphi, batch.mask, R)
         best = None
         if on_tpu:
-            for (tile, wchunk) in CANDIDATES:
-                body = _grad_chain(lambda x, w, t=tile, wc=wchunk:
-                                   kernel_fn(x, g, w, bias, tile=t, wchunk=wc))
+            for (tile, subtile, wchunk) in CANDIDATES:
+                body = _grad_chain(
+                    lambda x, w, t=tile, s=subtile, wc=wchunk:
+                    kernel_fn(x, g, w, bias, tile=t, wchunk=wc, subtile=s))
                 t = _slope_time(body, (x, w), ks=K_SWEEP, reps=4,
-                                label=f"sweep {n}x{h} t{tile}w{wchunk}")
+                                label=f"sweep {n}x{h} t{tile}s{subtile}"
+                                      f"w{wchunk}")
                 if best is None or t < best["ms"] * 1e-3:
                     gbytes = _kernel_bytes(b, n, h, halo, tile, wchunk)
-                    best = {"tile": tile, "wchunk": wchunk, "ms": t * 1e3,
+                    best = {"tile": tile, "subtile": subtile,
+                            "wchunk": wchunk, "ms": t * 1e3,
                             "model_GB": gbytes / 1e9,
                             "model_GBps": gbytes / t / 1e9,
                             "sol_fraction_model":
@@ -346,6 +359,134 @@ def _sweep(on_tpu: bool) -> list:
                      "true_edges": edges,
                      "edges_per_s": edges / (best["ms"] * 1e-3), **best})
     return rows
+
+
+# DRN/DynamicEdgeConv hot-path scale (reference
+# model/dynamic_reduction_network.py:39-40 at a 2048-candidate bucket)
+DRN_B, DRN_N, DRN_H, DRN_K = 8, 2048, 64, 16
+
+
+def _drn_section(on_tpu: bool) -> dict:
+    """Per-component + end-to-end timings of the DRN family (VERDICT r2
+    #1): the fused dynamic-graph build (Pallas, ops/pallas/knn_und.py) and
+    dense cut matching vs the composed XLA formulation, the tier-2
+    EdgeConv, and the full train step both ways.  Plus a real-hardware
+    parity gate: fused and composed must produce the identical undirected
+    graph and matching in a hub-free regime (canonicalized slot order)."""
+    import dataclasses
+
+    from deepmetv2_tpu.config import Config, DRNConfig
+    from deepmetv2_tpu.data import collate, synthetic_events
+    from deepmetv2_tpu.models.drn import drn_init
+    from deepmetv2_tpu.nn.core import mlp_apply, mlp_init
+    from deepmetv2_tpu.ops.coarsen import (handshake_matching,
+                                           normalized_cut_weights)
+    from deepmetv2_tpu.ops.dyn_graph import build_dyn_graph, cut_matching
+    from deepmetv2_tpu.ops.edgeconv import edgeconv_mlp
+    from deepmetv2_tpu.train.step import init_train_state, make_drn_train_step
+
+    B, N, H, k = DRN_B, DRN_N, DRN_H, DRN_K
+    rng = np.random.default_rng(5)
+    h = jnp.asarray(rng.normal(size=(B, N, H)).astype(np.float32))
+    n_valid = rng.integers(N - 256, N, size=B)
+    mask = jnp.asarray(np.arange(N)[None, :] < n_valid[:, None])
+    h = jnp.where(mask[..., None], h, 0.0)
+    out = {"config": {"B": B, "N": N, "H": H, "k": k}}
+
+    # --- parity gate (real lowering, hub-free regime so cap never binds)
+    rng2 = np.random.default_rng(42)
+    hp = rng2.normal(size=(4, 512, 16)).astype(np.float32)
+    mp = np.arange(512)[None, :] < rng2.integers(384, 512, size=4)[:, None]
+    hp = jnp.asarray(np.where(mp[..., None], hp, 0.0))
+    mp = jnp.asarray(mp)
+    gf = build_dyn_graph(hp, mp, k=8, cap=128,
+                         force="fused" if on_tpu else None,
+                         interpret=not on_tpu)
+    gc = build_dyn_graph(hp, mp, k=8, cap=128, force="composed")
+
+    def canon(nbr):
+        idx = np.where(np.asarray(nbr.mask), np.asarray(nbr.idx), 1 << 30)
+        return np.sort(idx, axis=-1)
+
+    h2p = jnp.tanh(hp * 1.3)
+    m_f = cut_matching(gf, h2p, mp)
+    m_c = cut_matching(gc, h2p, mp)
+    out["numerics"] = {
+        "graph_equal": bool(np.array_equal(canon(gf.nbr), canon(gc.nbr))),
+        "matching_equal": bool(
+            np.array_equal(np.asarray(m_f[0]), np.asarray(m_c[0]))
+            and np.array_equal(np.asarray(m_f[1]), np.asarray(m_c[1]))),
+    }
+    out["numerics"]["ok"] = all(out["numerics"].values())
+
+    # --- graph build: fused Pallas vs composed XLA
+    def build_body(force):
+        def body(c, _):
+            g = build_dyn_graph(c, mask, k=k, force=force)
+            return c + 1e-12 * jnp.mean(g.nbr.idx.astype(jnp.float32)), None
+        return body
+
+    if on_tpu:
+        out["graph_build_fused_ms"] = _slope_time(
+            build_body("fused"), h, ks=(5, 25), reps=4,
+            label="drn build fused") * 1e3
+    out["graph_build_composed_ms"] = _slope_time(
+        build_body("composed"), h, ks=(3, 12), reps=4,
+        label="drn build composed") * 1e3
+
+    # --- matching: dense vs list formulation (same composed graph)
+    g0 = jax.block_until_ready(
+        jax.jit(lambda c: build_dyn_graph(c, mask, k=k))(h))
+
+    def match_dense(c, _):
+        cl, _pa = cut_matching(g0, c, mask)
+        return c + 1e-12 * jnp.mean(cl.astype(jnp.float32)), None
+
+    def match_list(c, _):
+        w = normalized_cut_weights(jax.lax.stop_gradient(c), g0.nbr)
+        cl, _pa = handshake_matching(w, g0.nbr, mask)
+        return c + 1e-12 * jnp.mean(cl.astype(jnp.float32)), None
+
+    out["cut_matching_dense_ms"] = _slope_time(
+        match_dense, h, ks=(5, 25), reps=4, label="drn match dense") * 1e3
+    out["cut_matching_list_ms"] = _slope_time(
+        match_list, h, ks=(3, 12), reps=4, label="drn match list") * 1e3
+
+    # --- tier-2 EdgeConv fwd+bwd (generic gather-concat-MLP-reduce)
+    mlp_p = mlp_init(jax.random.PRNGKey(0), (2 * H, 3 * H // 2, H))
+
+    def conv_body(carry, _):
+        x, p = carry
+        _, (dx, dp) = jax.value_and_grad(
+            lambda x, p: jnp.sum(edgeconv_mlp(
+                x, g0.nbr, lambda e: mlp_apply(p, e, final_act=True),
+                reduction="sum") ** 2), argnums=(0, 1))(x, p)
+        fold = lambda a, g: a + 1e-12 * g
+        return (fold(x, dx), jax.tree_util.tree_map(fold, p, dp)), None
+
+    out["edgeconv_mlp_fwd_bwd_ms"] = _slope_time(
+        conv_body, (h, mlp_p), ks=(3, 12), reps=4, label="drn conv") * 1e3
+
+    # --- full train step, fused vs composed graph strategy
+    events = synthetic_events(B, seed=6, n_min=N - 256, n_max=N - 1)
+    batch = jax.device_put(collate(events, buckets=(N,)))
+    cfg = Config(drn=DRNConfig(head="cartesian", output_scale=100.0))
+
+    def step_time(force, label):
+        step = make_drn_train_step(cfg, graph_force=force)
+        st = init_train_state(*drn_init(jax.random.PRNGKey(0), cfg.drn), cfg)
+        return _slope_time(lambda s, _: (step(s, batch)[0], None), st,
+                           ks=(3, 12), reps=4, label=label) * 1e3
+
+    if on_tpu:
+        out["train_step_fused_ms"] = step_time("fused", "drn step fused")
+    out["train_step_composed_ms"] = step_time("composed", "drn step composed")
+    key = "train_step_fused_ms" if on_tpu else "train_step_composed_ms"
+    out["train_step_events_per_s"] = B / (out[key] * 1e-3)
+    if on_tpu:
+        out["step_speedup_vs_composed"] = (
+            out["train_step_composed_ms"] / out["train_step_fused_ms"])
+    return out
 
 
 def main() -> None:
@@ -423,6 +564,8 @@ def main() -> None:
 
     t_infer = _slope_time(infer_body, params)
 
+    drn = _drn_section(on_tpu)
+
     # Loader-fed epoch throughput: synchronous host feed vs the
     # double-buffered prefetch_to_device staging (VERDICT r1 #7).  Same
     # memoized HOST-side batches, same train step; only the feed differs.
@@ -474,6 +617,7 @@ def main() -> None:
             "prefetch_speedup": t_sync / t_pref,
             "inference_step_ms": t_infer * 1e3,
             "inference_events_per_s": B / t_infer,
+            "drn": drn,
             "timing_warnings": _TIMING_WARNINGS,
             "device": str(jax.devices()[0]),
         },

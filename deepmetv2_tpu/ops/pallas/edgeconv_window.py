@@ -23,10 +23,19 @@ across its H lanes).  Consequences:
   * events stay independent automatically: a lane only ever combines
     values in its own lane group.
 
-Kernel structure (forward), grid = (B/pack, N/T): DMA the tile's halo
-window of c and both coordinate planes ([W, 128] each) into VMEM, then
-sweep the window in 8-row sublane chunks of aligned [T, 8, 128]
-elementwise work, accumulating a running max into the [T, 128] output.
+Kernel structure (forward), grid = (B/pack, N/T): DMA the SUPERTILE's
+halo window of c and both coordinate planes ([W, 128] each) into VMEM
+once, then process the supertile's query rows in ``subtile``-row groups,
+each sweeping only its own interval-pruned window chunks and
+accumulating a running max into its slice of the [T, 128] output.
+
+Two-level tiling rationale: consecutive query tiles' windows overlap by
+w_win − tile rows, so small tiles re-DMA almost the whole window every
+step (w_win/tile ≈ 50-100x redundant HBM traffic at N=8192) — but small
+tiles are exactly what makes the eta+phi interval prune tight.  The
+supertile (default 128 rows) amortizes one window DMA across 8
+subtiles; the prune keeps its 16-row granularity (per-subtile chunk
+runs, offset by the subtile's position inside the supertile window).
 
 Padding contract (arranged by the wrapper): coordinates of padded nodes /
 padded batch lanes carry +1e9, so they are never adjacent to anything and
@@ -54,10 +63,13 @@ NEG_INF = float("-inf")  # python float: jnp consts can't be captured by kernels
 PAD_POS = 1e9
 LANE = 128
 WCHUNK = 16  # default window sublane chunk swept per loop iteration
-DEFAULT_TILE = 16  # query rows per grid step; small tiles prune tighter
-# (WCHUNK=16, tile=16 measured fastest on v5e at B8/N2048/H32: the chunk
-# interval [lo,hi) is per tile, so narrow tiles skip most of the window;
-# bench.py sweeps (tile, wchunk) across shapes and records the winners)
+DEFAULT_TILE = 512    # supertile: query rows sharing one window DMA
+DEFAULT_SUBTILE = 16  # prune granularity inside the supertile
+# (bench.py sweeps (tile, subtile, wchunk) across shapes and records the
+# winners; the interval runs are per SUBTILE, so pruning stays as tight
+# as the old tile=16 kernel while the DMA amortizes over the supertile.
+# tile 512/sub 16 measured fastest across the v5e sweep — incl. 3x on
+# the former 8192xH64 cliff row: 18.4 -> 6.15 ms)
 
 
 N_INTERVALS = 4  # needed-chunk runs per tile (cell order: <= 3 phi windows
@@ -68,7 +80,7 @@ N_INTERVALS = 4  # needed-chunk runs per tile (cell order: <= 3 phi windows
 
 def _fwd_kernel(c_hbm, eta_hbm, phi_hbm, qe_ref, qp_ref, lo_ref, hi_ref,
                 out_ref, cwin, ewin, pwin, sems, *, tile, w_win, r2,
-                wchunk):
+                wchunk, subtile):
     b = pl.program_id(0)
     i = pl.program_id(1)
     s = i * tile  # window start in the halo-padded source arrays
@@ -86,29 +98,38 @@ def _fwd_kernel(c_hbm, eta_hbm, phi_hbm, qe_ref, qp_ref, lo_ref, hi_ref,
         cp.wait()
 
     T, F = qe.shape
+    n_sub = tile // subtile
 
-    def chunk(k, acc):
-        sl = pl.ds(k * wchunk, wchunk)
-        cw = cwin[sl, :]                                 # [Wc, F]
-        de = qe[:, None, :] - ewin[sl, :][None, :, :]    # [T, Wc, F]
-        dp = qp[:, None, :] - pwin[sl, :][None, :, :]
-        d2 = de * de + dp * dp
-        masked = jnp.where(d2 < r2, cw[None, :, :], NEG_INF)
-        return jnp.maximum(acc, jnp.max(masked, axis=1))
+    # Per subtile: sweep its N_INTERVALS needed-chunk runs (eta+phi
+    # interval prune, wrapper) — statically unrolled so each run is a
+    # plain fori_loop with a register-carried accumulator; empty runs
+    # exit immediately.  The runs are computed relative to the SUBTILE's
+    # own window; q_off shifts them into the shared supertile window.
+    for sub in range(n_sub):
+        rows = slice(sub * subtile, (sub + 1) * subtile)
+        qe_s, qp_s = qe[rows], qp[rows]
+        q_off = (sub * subtile) // wchunk
+        g = (i * n_sub + sub) * N_INTERVALS
 
-    # Sweep the N_INTERVALS needed-chunk runs (eta+phi interval prune,
-    # wrapper) — statically unrolled so each run is a plain fori_loop with
-    # a register-carried accumulator; empty runs exit immediately.
-    acc = jnp.full((T, F), NEG_INF, cwin.dtype)
-    for j in range(N_INTERVALS):
-        acc = jax.lax.fori_loop(lo_ref[b, i * N_INTERVALS + j],
-                                hi_ref[b, i * N_INTERVALS + j], chunk, acc)
-    out_ref[0] = acc
+        def chunk(k, acc, qe_s=qe_s, qp_s=qp_s):
+            sl = pl.ds(k * wchunk, wchunk)
+            cw = cwin[sl, :]                                 # [Wc, F]
+            de = qe_s[:, None, :] - ewin[sl, :][None, :, :]  # [S, Wc, F]
+            dp = qp_s[:, None, :] - pwin[sl, :][None, :, :]
+            d2 = de * de + dp * dp
+            masked = jnp.where(d2 < r2, cw[None, :, :], NEG_INF)
+            return jnp.maximum(acc, jnp.max(masked, axis=1))
+
+        acc = jnp.full((subtile, F), NEG_INF, cwin.dtype)
+        for j in range(N_INTERVALS):
+            acc = jax.lax.fori_loop(lo_ref[b, g + j] + q_off,
+                                    hi_ref[b, g + j] + q_off, chunk, acc)
+        out_ref[0, rows, :] = acc
 
 
 def _bwd_kernel(eta_hbm, phi_hbm, m_hbm, g_hbm, ct_ref, qe_ref, qp_ref,
                 lo_ref, hi_ref, dc_ref, mwin, gwin, ewin, pwin, sems, *,
-                tile, w_win, r2, wchunk):
+                tile, w_win, r2, wchunk, subtile):
     """dc[s,h] = Σ_q [adj(q,s) ∧ c[s,h] == m[q,h]] · g[q,h].
 
     Source-tile centric: the queries whose windows include source s lie in
@@ -116,7 +137,8 @@ def _bwd_kernel(eta_hbm, phi_hbm, m_hbm, g_hbm, ct_ref, qe_ref, qp_ref,
     with (m, g) windows DMA'd instead of c; ``qe/qp`` are THIS tile's
     (source) coordinates, ewin/pwin the window (query) coordinates.  The
     needed-run intervals are the forward's — the adjacency relation is
-    symmetric, so the pruned set is identical."""
+    symmetric, so the pruned set is identical.  Same supertile window /
+    subtile prune split as the forward."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     s = i * tile
@@ -134,21 +156,28 @@ def _bwd_kernel(eta_hbm, phi_hbm, m_hbm, g_hbm, ct_ref, qe_ref, qp_ref,
     for cp in copies:
         cp.wait()
 
-    def chunk(k, acc):
-        sl = pl.ds(k * wchunk, wchunk)
-        mw = mwin[sl, :]                                 # [Wc, F] query max
-        gw = gwin[sl, :]                                 # [Wc, F] query grad
-        de = qe[:, None, :] - ewin[sl, :][None, :, :]    # [T, Wc, F]
-        dp = qp[:, None, :] - pwin[sl, :][None, :, :]
-        d2 = de * de + dp * dp
-        hit = (d2 < r2) & (ct[:, None, :] == mw[None, :, :])
-        return acc + jnp.sum(jnp.where(hit, gw[None, :, :], 0.0), axis=1)
+    n_sub = tile // subtile
+    for sub in range(n_sub):
+        rows = slice(sub * subtile, (sub + 1) * subtile)
+        ct_s, qe_s, qp_s = ct[rows], qe[rows], qp[rows]
+        q_off = (sub * subtile) // wchunk
+        g = (i * n_sub + sub) * N_INTERVALS
 
-    acc = jnp.zeros((ct.shape[0], ct.shape[1]), ct.dtype)
-    for j in range(N_INTERVALS):
-        acc = jax.lax.fori_loop(lo_ref[b, i * N_INTERVALS + j],
-                                hi_ref[b, i * N_INTERVALS + j], chunk, acc)
-    dc_ref[0] = acc
+        def chunk(k, acc, ct_s=ct_s, qe_s=qe_s, qp_s=qp_s):
+            sl = pl.ds(k * wchunk, wchunk)
+            mw = mwin[sl, :]                                 # [Wc, F] query max
+            gw = gwin[sl, :]                                 # [Wc, F] query grad
+            de = qe_s[:, None, :] - ewin[sl, :][None, :, :]  # [S, Wc, F]
+            dp = qp_s[:, None, :] - pwin[sl, :][None, :, :]
+            d2 = de * de + dp * dp
+            hit = (d2 < r2) & (ct_s[:, None, :] == mw[None, :, :])
+            return acc + jnp.sum(jnp.where(hit, gw[None, :, :], 0.0), axis=1)
+
+        acc = jnp.zeros((subtile, ct.shape[1]), ct.dtype)
+        for j in range(N_INTERVALS):
+            acc = jax.lax.fori_loop(lo_ref[b, g + j] + q_off,
+                                    hi_ref[b, g + j] + q_off, chunk, acc)
+        dc_ref[0, rows, :] = acc
 
 
 # ------------------------------------------------------------ packing
@@ -290,53 +319,69 @@ def _prepare(c, pos, halo_pad, extra, pack, m_fill=0.0):
     return halo(cpk, m_fill), halo(eta, PAD_POS), halo(phi, PAD_POS), eta, phi
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def window_max(c, pos, r2: float, halo: int, tile: int = DEFAULT_TILE,
-               interpret: bool = False, wchunk: int = WCHUNK):
+               interpret: bool = False, wchunk: int = WCHUNK,
+               subtile: int = DEFAULT_SUBTILE):
     """``m[b,i,:] = max over w with ‖pos_i − pos_w‖² < r2 of c[b,w,:]``
     (window-limited to ±halo in the sorted order); -inf where no neighbor.
 
     ``pos`` is ``[B, N, 2]`` with +1e9 rows for padded nodes (see wrapper).
+    ``tile`` is the supertile (rows sharing one window DMA), ``subtile``
+    the interval-prune granularity within it.
     """
-    return _window_max_impl(c, pos, r2, halo, tile, interpret, wchunk)
+    return _window_max_impl(c, pos, r2, halo, tile, interpret, wchunk,
+                            subtile)
 
 
-def _bounds_or_static(pos, halo_pad, extra, w_win, tile, r2, pack, Bp,
-                      n_tiles, wchunk):
-    """Dynamic eta+phi-pruned chunk runs when shapes align to the wchunk
-    grid; otherwise the static full sweep (tiny-shape test configs): run 0
-    covers the whole window, the rest are empty.  ``w_win`` is always a
-    wchunk multiple (see _grid_params)."""
-    n_chunks = w_win // wchunk
+def _bounds_or_static(pos, halo_pad, extra, w_win, subtile, r2, pack, Bp,
+                      n_sub_tiles, wchunk, dynamic):
+    """Dynamic eta+phi-pruned chunk runs at SUBTILE granularity when
+    shapes align to the wchunk grid; otherwise the static full sweep
+    (tiny-shape test configs, where subtile == tile): run 0 covers the
+    whole window, the rest are empty.  ``w_win`` is always a wchunk
+    multiple (see _grid_params)."""
     assert w_win % wchunk == 0
-    if tile % wchunk == 0 and halo_pad % wchunk == 0:
+    if dynamic:
+        n_chunks = (subtile + 2 * halo_pad + extra) // wchunk
         return _chunk_bounds(pos[..., 0], pos[..., 1], halo_pad, extra,
-                             tile, r2 ** 0.5, pack, n_chunks, wchunk)
-    lo = jnp.zeros((Bp, n_tiles, N_INTERVALS), jnp.int32)
-    hi = lo.at[..., 0].set(n_chunks)
-    return (lo.reshape(Bp, n_tiles * N_INTERVALS),
-            hi.reshape(Bp, n_tiles * N_INTERVALS))
+                             subtile, r2 ** 0.5, pack, n_chunks, wchunk)
+    lo = jnp.zeros((Bp, n_sub_tiles, N_INTERVALS), jnp.int32)
+    hi = lo.at[..., 0].set(w_win // wchunk)
+    return (lo.reshape(Bp, n_sub_tiles * N_INTERVALS),
+            hi.reshape(Bp, n_sub_tiles * N_INTERVALS))
 
 
-def _pick_tile(tile: int, N: int) -> int:
-    """Largest valid query tile: N must divide into whole tiles; fall back
-    to a single tile for node counts not divisible by the default."""
+def _pick_tiles(tile: int, subtile: int, wchunk: int, N: int,
+                halo_pad: int):
+    """(tile, subtile, dynamic): N must divide into whole supertiles
+    (fall back to one tile for odd node counts); the subtile prune needs
+    every granularity aligned to the wchunk grid, else the kernel runs
+    one static full-window sweep per supertile (subtile == tile)."""
     tile = min(tile, N)
-    return tile if N % tile == 0 else N
+    if N % tile != 0:
+        tile = N
+    subtile = min(subtile, tile)
+    if (tile % subtile == 0 and subtile % wchunk == 0
+            and tile % wchunk == 0 and halo_pad % wchunk == 0):
+        return tile, subtile, True
+    return tile, tile, False
 
 
-def _window_max_impl(c, pos, r2, halo, tile, interpret, wchunk=WCHUNK):
+def _window_max_impl(c, pos, r2, halo, tile, interpret, wchunk=WCHUNK,
+                     subtile: int = DEFAULT_SUBTILE):
     B, N, H = c.shape
-    tile = _pick_tile(tile, N)
+    halo_pad = -(-halo // 64) * 64
+    tile, subtile, dynamic = _pick_tiles(tile, subtile, wchunk, N, halo_pad)
     halo_pad, w_win, extra = _grid_params(N, halo, tile, wchunk)
     pack = _pack_factor(H)
     cpad, eta_pad, phi_pad, qe, qp = _prepare(c, pos, halo_pad, extra, pack)
     Bp, _, F = qe.shape
-    lo, hi = _bounds_or_static(pos, halo_pad, extra, w_win, tile, r2,
-                               pack, Bp, N // tile, wchunk)
+    lo, hi = _bounds_or_static(pos, halo_pad, extra, w_win, subtile, r2,
+                               pack, Bp, N // subtile, wchunk, dynamic)
 
     kernel = functools.partial(_fwd_kernel, tile=tile, w_win=w_win, r2=r2,
-                               wchunk=wchunk)
+                               wchunk=wchunk, subtile=subtile)
     m = pl.pallas_call(
         kernel,
         grid=(Bp, N // tile),
@@ -365,15 +410,16 @@ def _window_max_impl(c, pos, r2, halo, tile, interpret, wchunk=WCHUNK):
     return _unpack_features(m, pack, B, H)
 
 
-def _window_max_fwd(c, pos, r2, halo, tile, interpret, wchunk):
-    m = _window_max_impl(c, pos, r2, halo, tile, interpret, wchunk)
+def _window_max_fwd(c, pos, r2, halo, tile, interpret, wchunk, subtile):
+    m = _window_max_impl(c, pos, r2, halo, tile, interpret, wchunk, subtile)
     return m, (c, pos, m)
 
 
-def _window_max_bwd(r2, halo, tile, interpret, wchunk, res, g):
+def _window_max_bwd(r2, halo, tile, interpret, wchunk, subtile, res, g):
     c, pos, m = res
     B, N, H = c.shape
-    tile_ = _pick_tile(tile, N)
+    halo_pad = -(-halo // 64) * 64
+    tile_, subtile, dynamic = _pick_tiles(tile, subtile, wchunk, N, halo_pad)
     halo_pad, w_win, extra = _grid_params(N, halo, tile_, wchunk)
     pack = _pack_factor(H)
     # m of padded/empty rows is -inf; grads there are irrelevant but must
@@ -390,11 +436,11 @@ def _window_max_bwd(r2, halo, tile, interpret, wchunk, res, g):
     gpad = jnp.pad(gpk, ((0, 0), (halo_pad, halo_pad + extra), (0, 0)))
     cl = _lane_pad(_pack_features(c, pack))
     Bp, _, F = qe.shape
-    lo, hi = _bounds_or_static(pos, halo_pad, extra, w_win, tile_,
-                               r2, pack, Bp, N // tile_, wchunk)
+    lo, hi = _bounds_or_static(pos, halo_pad, extra, w_win, subtile, r2,
+                               pack, Bp, N // subtile, wchunk, dynamic)
 
     kernel = functools.partial(_bwd_kernel, tile=tile_, w_win=w_win, r2=r2,
-                               wchunk=wchunk)
+                               wchunk=wchunk, subtile=subtile)
     dc = pl.pallas_call(
         kernel,
         grid=(Bp, N // tile_),
@@ -438,6 +484,7 @@ def window_edgeconv_linear_pallas(
     tile: int = DEFAULT_TILE,
     interpret: bool = False,
     wchunk: int = WCHUNK,
+    subtile: int = DEFAULT_SUBTILE,
 ) -> jnp.ndarray:
     """Drop-in equivalent of ops/window.window_edgeconv_linear('max') with
     the aggregation running as a Pallas kernel.  The GEMMs stay in XLA
@@ -450,7 +497,8 @@ def window_edgeconv_linear_pallas(
     if bias is not None:
         a = a + bias
     pos = jnp.where(g.mask[..., None], g.etaphi, PAD_POS)
-    m = window_max(c, pos, float(g.r) ** 2, g.halo, tile, interpret, wchunk)
+    m = window_max(c, pos, float(g.r) ** 2, g.halo, tile, interpret, wchunk,
+                   subtile)
     # Padded nodes all sit at the same PAD_POS sentinel, so they are
     # adjacent to each OTHER (distance 0): their m is a real number, not
     # -inf.  Mask them explicitly — the op's contract (like ops/window.py)

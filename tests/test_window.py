@@ -393,7 +393,7 @@ class TestCellOrder:
             halo_pad, w_win, extra = _grid_params(N, halo, tile, wchunk)
             lo, hi = _bounds_or_static(
                 pos, halo_pad, extra, w_win, tile, 0.16, 4, 2, N // tile,
-                wchunk)
+                wchunk, dynamic=True)
             return int(np.sum(np.asarray(hi) - np.asarray(lo)))
 
         eta_b, _ = sort_by_eta(base)
