@@ -74,8 +74,14 @@ class DynGraph:
 
 def _fused_available(n: int, cap: int, interpret: bool) -> bool:
     from deepmetv2_tpu.ops.pallas.knn_und import supported
+    from deepmetv2_tpu.parallel import context as pctx
 
     if not supported(n, cap):
+        return False
+    if pctx.xla_window_forced():
+        # GSPMD-sharded trace (dp steps): pallas_call has no SPMD
+        # partitioning rule — take the composed XLA formulation, which
+        # GSPMD partitions along the batch axis for free
         return False
     if interpret:
         return True

@@ -52,12 +52,15 @@ def xla_window_forced() -> bool:
 @contextlib.contextmanager
 def force_xla_window():
     """While tracing a GSPMD-sharded program (jit with in_shardings, e.g.
-    the data-parallel train/eval steps), WindowGraph aggregation must use
-    the XLA window formulation: ``pallas_call`` has no SPMD partitioning
-    rule, so a sharded-operand trace would fail to partition (or silently
-    replicate) the kernel.  Dense XLA partitions along the batch axis for
-    free.  (Recovering the Pallas kernel under dp means wrapping it in a
-    shard_map over the data axis — future work.)"""
+    the data-parallel train/eval steps), Pallas-backed formulations must
+    be swapped for their XLA equivalents: ``pallas_call`` has no SPMD
+    partitioning rule, so a sharded-operand trace would fail to partition
+    (or silently replicate) the kernel.  Gates both the WindowGraph
+    aggregation (ops/edgeconv.py) and the DRN's fused dynamic-graph build
+    (ops/dyn_graph._fused_available); the dense XLA forms partition along
+    the batch axis for free.  (Recovering the Pallas kernels under dp
+    means wrapping them in a shard_map over the data axis — future
+    work.)"""
     prev = xla_window_forced()
     _TLS.xla_window = True
     try:

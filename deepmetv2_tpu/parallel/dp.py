@@ -99,9 +99,11 @@ def make_drn_dp_eval_step(cfg: Config, mesh: Mesh):
 
     def eval_step(params, bn_state, batch: EventBatch):
         import jax.numpy as jnp
+        from deepmetv2_tpu.parallel import context as pctx
 
-        pred, _ = drn_net_apply(params, bn_state, batch, train=False,
-                                cfg=cfg.drn)
+        with pctx.force_xla_window():   # see make_drn_dp_train_step
+            pred, _ = drn_net_apply(params, bn_state, batch, train=False,
+                                    cfg=cfg.drn)
         v_met = drn_met_vector(pred, cfg.drn.head)
         return v_met, drn_loss_fn(pred, batch, cfg.drn.head), jnp.zeros(
             (batch.batch_size,), jnp.int32)
@@ -125,17 +127,24 @@ def make_drn_dp_train_step(cfg: Config, mesh: Mesh):
     bsh = batch_sharding(mesh)
 
     def step(state: TrainState, batch: EventBatch):
-        def objective(params):
-            pred, new_bn = drn_net_apply(params, state.bn_state, batch,
-                                         train=True, cfg=cfg.drn)
-            return drn_loss_fn(pred, batch, cfg.drn.head), new_bn
+        from deepmetv2_tpu.parallel import context as pctx
 
-        (loss, new_bn), grads = jax.value_and_grad(objective, has_aux=True)(
-            state.params)
-        updates, new_opt = opt.update(grads, state.opt_state, state.params)
-        import optax
-        new_params = optax.apply_updates(state.params, updates)
-        return TrainState(new_params, new_bn, new_opt, state.step + 1), loss
+        # GSPMD-sharded trace: the DRN's dynamic-graph build must take the
+        # composed XLA formulation (see ops/dyn_graph._fused_available)
+        with pctx.force_xla_window():
+            def objective(params):
+                pred, new_bn = drn_net_apply(params, state.bn_state, batch,
+                                             train=True, cfg=cfg.drn)
+                return drn_loss_fn(pred, batch, cfg.drn.head), new_bn
+
+            (loss, new_bn), grads = jax.value_and_grad(
+                objective, has_aux=True)(state.params)
+            updates, new_opt = opt.update(grads, state.opt_state,
+                                          state.params)
+            import optax
+            new_params = optax.apply_updates(state.params, updates)
+            return TrainState(new_params, new_bn, new_opt,
+                              state.step + 1), loss
 
     return jax.jit(
         step,
