@@ -168,3 +168,132 @@ class TestDRN:
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
         total = sum(float(np.abs(np.asarray(l)).sum()) for l in leaves)
         assert total > 0
+
+
+class TestDRNConvOracle:
+    """Parity of the DRN conv block (edge-MLP + edge BatchNorm + aggr)
+    against an independent numpy edge-loop oracle (tests/oracles.py) and
+    against real torch modules executing the reference's exact Sequential
+    (reference model/dynamic_reduction_network.py:61-79)."""
+
+    def _setup(self, aggr, seed=0, H=16, B=2, N=24, k=4):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(B, N, H)).astype(np.float32))
+        mask = np.ones((B, N), bool)
+        mask[0, N - 5:] = False          # ragged event
+        mask = jnp.asarray(mask)
+        nbr = to_undirected(knn_graph(x, mask, k=k))
+        cfg = DRNConfig(hidden_dim=H, k=k, aggr=aggr)
+        params, state = drn_init(jax.random.PRNGKey(seed), cfg)
+        return x, mask, nbr, params, state
+
+    @staticmethod
+    def _nbr_lists(nbr, mask):
+        idx, m = np.asarray(nbr.idx), np.asarray(nbr.mask)
+        out = []
+        for b in range(idx.shape[0]):
+            out.append([idx[b, i][m[b, i]].tolist() if mask[b, i] else []
+                        for i in range(idx.shape[1])])
+        return out
+
+    @pytest.mark.parametrize("aggr", ["add", "max", "mean"])
+    @pytest.mark.parametrize("train", [True, False])
+    def test_vs_numpy_oracle(self, aggr, train):
+        from deepmetv2_tpu.models.drn import _drn_edgeconv
+        from tests.oracles import drn_conv
+
+        x, mask, nbr, params, state = self._setup(aggr)
+        conv_p, bn_s = params["convs"][0], state["convs"][0]
+        # non-trivial running stats so eval mode is a real check
+        bn_s = bn_s._replace(mean=bn_s.mean + 0.3, var=bn_s.var * 1.7)
+
+        got, new_bn = _drn_edgeconv(conv_p, bn_s, x, nbr, aggr, train)
+
+        mlp = conv_p["mlp"]
+        xs = [np.asarray(x[b])[np.asarray(mask[b])] for b in range(2)]
+        nls = self._nbr_lists(nbr, np.asarray(mask))
+        nls = [[js for js, v in zip(nl, np.asarray(mask[b])) if v]
+               for b, nl in enumerate(nls)]
+        want, want_mean, want_var = drn_conv(
+            xs, nls,
+            np.asarray(mlp["lin0"]["w"]), np.asarray(mlp["lin0"]["b"]),
+            np.asarray(mlp["lin1"]["w"]), np.asarray(mlp["lin1"]["b"]),
+            np.asarray(conv_p["bn"]["gamma"]), np.asarray(conv_p["bn"]["beta"]),
+            np.asarray(bn_s.mean), np.asarray(bn_s.var),
+            aggr=aggr, train=train)
+        for b in range(2):
+            n_valid = int(np.asarray(mask[b]).sum())
+            np.testing.assert_allclose(
+                np.asarray(got[b, :n_valid]), want[b], rtol=2e-5, atol=2e-5)
+            # padded nodes contribute nothing
+            np.testing.assert_allclose(np.asarray(got[b, n_valid:]), 0.0)
+        np.testing.assert_allclose(np.asarray(new_bn.mean), want_mean,
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(new_bn.var), want_var,
+                                   rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("train", [True, False])
+    def test_vs_torch_modules(self, train):
+        """Drive the reference's literal Sequential
+        (Linear-ELU-Linear-ELU-BatchNorm1d over the [E, 2H] edge matrix,
+        model/dynamic_reduction_network.py:61-72) with torch, loaded with
+        this framework's weights, and compare outputs and the BN running
+        update torch itself performs."""
+        torch = pytest.importorskip("torch")
+        import torch.nn as tnn
+
+        aggr = "add"
+        x, mask, nbr, params, state = self._setup(aggr, seed=3)
+        conv_p, bn_s = params["convs"][0], state["convs"][0]
+        bn_s = bn_s._replace(mean=bn_s.mean - 0.1, var=bn_s.var * 0.8)
+        got, new_bn = _drn_edgeconv_import()(conv_p, bn_s, x, nbr, aggr, train)
+
+        H = x.shape[-1]
+        seq = tnn.Sequential(
+            tnn.Linear(2 * H, 3 * H // 2), tnn.ELU(),
+            tnn.Linear(3 * H // 2, H), tnn.ELU(),
+            tnn.BatchNorm1d(H))
+        mlp = conv_p["mlp"]
+        with torch.no_grad():
+            seq[0].weight.copy_(torch.from_numpy(
+                np.asarray(mlp["lin0"]["w"]).T.copy()))
+            seq[0].bias.copy_(torch.from_numpy(np.asarray(mlp["lin0"]["b"])))
+            seq[2].weight.copy_(torch.from_numpy(
+                np.asarray(mlp["lin1"]["w"]).T.copy()))
+            seq[2].bias.copy_(torch.from_numpy(np.asarray(mlp["lin1"]["b"])))
+            seq[4].weight.copy_(torch.from_numpy(
+                np.asarray(conv_p["bn"]["gamma"])))
+            seq[4].bias.copy_(torch.from_numpy(np.asarray(conv_p["bn"]["beta"])))
+            seq[4].running_mean.copy_(torch.from_numpy(np.asarray(bn_s.mean)))
+            seq[4].running_var.copy_(torch.from_numpy(np.asarray(bn_s.var)))
+        seq.train(train)
+
+        idx, em = np.asarray(nbr.idx), np.asarray(nbr.mask)
+        xn, mn = np.asarray(x), np.asarray(mask)
+        feats, tgt = [], []
+        for b in range(xn.shape[0]):
+            for i in range(xn.shape[1]):
+                if not mn[b, i]:
+                    continue
+                for s in range(idx.shape[2]):
+                    if em[b, i, s]:
+                        j = idx[b, i, s]
+                        feats.append(np.concatenate(
+                            [xn[b, i], xn[b, j] - xn[b, i]]))
+                        tgt.append((b, i))
+        msgs = seq(torch.from_numpy(np.stack(feats))).detach().numpy()
+        want = np.zeros_like(xn)
+        for (b, i), m in zip(tgt, msgs):
+            want[b, i] += m
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(new_bn.mean),
+                                   seq[4].running_mean.numpy(),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(new_bn.var),
+                                   seq[4].running_var.numpy(),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def _drn_edgeconv_import():
+    from deepmetv2_tpu.models.drn import _drn_edgeconv
+    return _drn_edgeconv
