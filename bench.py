@@ -122,6 +122,12 @@ def _fetch(tree) -> None:
     np.asarray(jax.device_get(leaf))
 
 
+def _timed_fetch(f, carry) -> float:
+    t0 = time.perf_counter()
+    _fetch(f(carry))
+    return time.perf_counter() - t0
+
+
 # The tunnel is SHARED infrastructure: identical programs vary 2-4x in
 # wall time run-to-run (measured t(k=110) between 154 and 443 ms minutes
 # apart) — the dispatch+fetch overhead itself swings by >100 ms with other
@@ -137,6 +143,25 @@ def _fetch(tree) -> None:
 #     cancels in the slope.
 MIN_SPREAD_S = 1.0
 MAX_CHAIN = 16384
+
+_T0 = time.perf_counter()
+
+
+def _progress(msg: str) -> None:
+    """Timestamped progress line on stderr (stdout carries only the final
+    JSON line) — makes a driver-side timeout diagnosable."""
+    import sys
+
+    print(f"[bench +{time.perf_counter() - _T0:5.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _pow2_at_least(k: int) -> int:
+    """Round a chain length up to a power of two: pilot-extended lengths
+    land on stable values across runs, so the persistent compilation cache
+    actually hits (a raw pilot-derived k2 differs every run with tunnel
+    noise, forcing a fresh 10-40 s compile each time)."""
+    return 1 << max(0, (k - 1).bit_length())
 
 # Labels of measurements whose final work spread stayed under MIN_SPREAD_S
 # even after the pilot re-lengthening hit MAX_CHAIN — their slope is
@@ -161,6 +186,7 @@ def _slope_time(body, carry, ks=K_FAST, reps=REPS, label="") -> float:
         _fetch(f(carry))
         return time.perf_counter() - t0
 
+    _progress(f"slope_time[{label}] start")
     k1, k2 = ks
     f1, f2 = compile_chain(k1), compile_chain(k2)
     t1, t2 = once(f1), once(f2)                  # pilot
@@ -168,7 +194,8 @@ def _slope_time(body, carry, ks=K_FAST, reps=REPS, label="") -> float:
         if t2 - t1 >= MIN_SPREAD_S or k2 >= MAX_CHAIN:
             break
         pilot = max((t2 - t1) / (k2 - k1), 1e-6)
-        k2 = min(MAX_CHAIN, k1 + int(np.ceil(1.25 * MIN_SPREAD_S / pilot)))
+        k2 = min(MAX_CHAIN, _pow2_at_least(
+            k1 + int(np.ceil(1.25 * MIN_SPREAD_S / pilot))))
         f2 = compile_chain(k2)
         t2 = once(f2)
     for _ in range(reps):                        # interleaved min-tracking
@@ -300,6 +327,7 @@ def _numerics_gate(interpret: bool) -> dict:
 
     checks, ok = [], True
     for s in shapes:
+        _progress(f"numerics gate: {s['name']}")
         b, n, h = s["B"], s["N"], s["H"]
         rng = np.random.default_rng(n + h)
         eta = np.sort(rng.uniform(-5, 5, (b, n)).astype(np.float32), axis=1)
@@ -366,21 +394,49 @@ def _sweep(on_tpu: bool) -> list:
         edges = _true_edges(etaphi, batch.mask, R)
         best = None
         if on_tpu:
-            for (tile, subtile, wchunk) in CANDIDATES:
+            # Two-phase tuning: rank the candidate (tile, subtile, wchunk)
+            # configs with one fixed-length chain each (min over 3 runs of
+            # ~0.5 s device work — enough to dwarf tunnel jitter for a
+            # RANKING), then slope-time only the winner.  One long-chain
+            # compile per shape instead of one per candidate: at 10-40 s
+            # per fresh TPU compile, the full slope treatment for every
+            # grid point put bench past the driver's budget (r3).
+            def chain_of(cand, k):
+                tile, sub, wc = cand
                 body = _grad_chain(
-                    lambda x, w, t=tile, s=subtile, wc=wchunk:
-                    kernel_fn(x, g, w, bias, tile=t, wchunk=wc, subtile=s))
-                t = _slope_time(body, (x, w), ks=K_SWEEP, reps=4,
-                                label=f"sweep {n}x{h} t{tile}s{subtile}"
-                                      f"w{wchunk}")
-                if best is None or t < best["ms"] * 1e-3:
-                    gbytes = _kernel_bytes(b, n, h, halo, tile, wchunk)
-                    best = {"tile": tile, "subtile": subtile,
-                            "wchunk": wchunk, "ms": t * 1e3,
-                            "model_GB": gbytes / 1e9,
-                            "model_GBps": gbytes / t / 1e9,
-                            "sol_fraction_dma_model":
-                                gbytes / t / 1e9 / HBM_PEAK_GBPS}
+                    lambda x, w, t=tile, s=sub, w_=wc:
+                    kernel_fn(x, g, w, bias, tile=t, wchunk=w_, subtile=s))
+                f = jax.jit(
+                    lambda c: jax.lax.scan(body, c, None, length=k)[0])
+                _fetch(f((x, w)))            # compile + warm
+                return f
+
+            _progress(f"sweep {n}x{h}: ranking {len(CANDIDATES)} candidates")
+            f0 = chain_of(CANDIDATES[0], 16)
+            t0 = time.perf_counter()
+            _fetch(f0((x, w)))
+            pilot = max((time.perf_counter() - t0 - 0.15) / 16, 1e-5)
+            k_sel = min(4096, max(16, _pow2_at_least(int(0.5 / pilot))))
+            ranked = []
+            for cand in CANDIDATES:
+                f = chain_of(cand, k_sel)
+                t = min(_timed_fetch(f, (x, w)) for _ in range(3))
+                ranked.append((t, cand))
+            ranked.sort(key=lambda r: r[0])
+            (tile, subtile, wchunk) = ranked[0][1]
+            body = _grad_chain(
+                lambda x, w, t=tile, s=subtile, wc=wchunk:
+                kernel_fn(x, g, w, bias, tile=t, wchunk=wc, subtile=s))
+            t = _slope_time(body, (x, w), ks=(k_sel, 4 * k_sel), reps=4,
+                            label=f"sweep {n}x{h} t{tile}s{subtile}"
+                                  f"w{wchunk}")
+            gbytes = _kernel_bytes(b, n, h, halo, tile, wchunk)
+            best = {"tile": tile, "subtile": subtile,
+                    "wchunk": wchunk, "ms": t * 1e3,
+                    "model_GB": gbytes / 1e9,
+                    "model_GBps": gbytes / t / 1e9,
+                    "sol_fraction_dma_model":
+                        gbytes / t / 1e9 / HBM_PEAK_GBPS}
             # VPU-side model for the winning config: the kernel sweeps the
             # pruned elements fwd+bwd; the binding bound is the larger of
             # the DMA and VPU fractions
@@ -538,6 +594,7 @@ def main() -> None:
 
     enable_compilation_cache()
     on_tpu = jax.default_backend() != "cpu"
+    _progress(f"start (backend={jax.default_backend()})")
     numerics = _numerics_gate(interpret=not on_tpu)
 
     batch, etaphi, halo, x, w, bias = _make_graph_inputs(B, N, H, seed=0)
@@ -608,6 +665,7 @@ def main() -> None:
 
     t_infer = _slope_time(infer_body, params)
 
+    _progress("drn section")
     drn = _drn_section(on_tpu)
 
     # Loader-fed epoch throughput: synchronous host feed vs the
@@ -636,6 +694,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best, stt
 
+    _progress("epoch feed timing")
     t_sync, stt = time_epoch(lambda: iter(ld), stt)
     t_pref, stt = time_epoch(lambda: prefetch_to_device(ld), stt)
     n_ev = len(ld) * B
@@ -674,6 +733,7 @@ def main() -> None:
                 and "sol_fraction_model" in row):
             result["extras"]["headline_sol_fraction_model"] = (
                 row["sol_fraction_model"])
+    _progress("done")
     print(json.dumps(result))
 
 

@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grad_clip", type=float, default=None,
                    help="global-norm gradient clipping (default: off, "
                         "matching the reference)")
+    p.add_argument("--plateau_patience", type=int, default=None,
+                   help="ReduceLROnPlateau patience in epochs (default from "
+                        "config: 500, the reference's setting — which never "
+                        "fires inside a 100-epoch run; lower it to let the "
+                        "LR actually decay on a plateau)")
     p.add_argument("--bn_refresh", type=int, default=None, metavar="M",
                    help="precise-BN: refresh BatchNorm running stats with M "
                         "training batches before each validation pass "
@@ -68,9 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sort_mode", choices=["cell", "eta"], default=None,
                    help="window-mode row order: 'cell' (eta-quantile-block "
                         "x phi, fastest kernel layout; default) or 'eta' "
-                        "(plain eta sort; forced for edge-partitioned "
+                        "(plain eta sort; the default for edge-partitioned "
                         "--mesh DxN runs, where it minimizes the halo "
-                        "exchanged between node shards)")
+                        "exchanged between node shards — pass 'cell' "
+                        "explicitly to trade ICI bytes for kernel speed)")
     p.add_argument("--from_torch", default=None,
                    help="warm-start from a reference .pth.tar checkpoint")
     p.add_argument("--mesh", default=None, metavar="DxN",
@@ -149,6 +155,10 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(
                 cfg.train, bn_refresh_batches=args.bn_refresh))
+    if args.plateau_patience is not None:
+        cfg = dataclasses.replace(
+            cfg, optim=dataclasses.replace(
+                cfg.optim, plateau_patience=args.plateau_patience))
     drn_over = {}
     if args.drn_aggr is not None:
         drn_over["aggr"] = args.drn_aggr
@@ -166,9 +176,12 @@ def main(argv=None) -> int:
     ep_run = bool(mesh_dims and mesh_dims[1] > 1)
     sort_mode = args.sort_mode or ("eta" if ep_run else "cell")
     if args.sort_mode == "cell" and ep_run:
-        raise SystemExit("--sort_mode cell is incompatible with an "
-                         "edge-partitioned mesh (node-sharded runs need "
-                         "the eta order's minimal shard halo)")
+        # supported (the ±halo exchange is row-order-agnostic given the
+        # order's own span as the halo; exactness in tests/test_halo.py) —
+        # but the cell span is ~2-3x the eta span, so this trades ICI halo
+        # bytes for the cell order's kernel speed; see ARCHITECTURE §4.
+        print("note: cell-order edge partitioning exchanges the (wider) "
+              "cell span as its halo; 'eta' minimizes ICI traffic")
     presort = args.graph_mode == "window" and args.model != "drn"
     presort_kw = dict(presort_eta=presort, presort_mode=sort_mode,
                       presort_r=cfg.graph.delta_r)
