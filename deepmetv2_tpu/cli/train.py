@@ -47,8 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "'add', the reference DRN ctor default)")
     p.add_argument("--drn_head", choices=["polar", "cartesian"], default=None,
                    help="DRN output head: 'polar' (reference commented Net, "
-                        "softplus MET + sigmoid phi) or 'cartesian' "
-                        "(direct METx/METy regression)")
+                        "softplus MET + sigmoid phi; CAN COLLAPSE — the "
+                        "saturating activations trap training at MET=0 / "
+                        "phi=pi with vanishing gradients) or 'cartesian' "
+                        "(direct METx/METy regression; recommended)")
     p.add_argument("--grad_clip", type=float, default=None,
                    help="global-norm gradient clipping (default: off, "
                         "matching the reference)")
@@ -159,6 +161,14 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(
             cfg, optim=dataclasses.replace(
                 cfg.optim, plateau_patience=args.plateau_patience))
+    if args.model == "drn" and (args.drn_head or cfg.drn.head) == "polar":
+        # observed failure mode (150-epoch synthetic run): softplus MET
+        # saturates at 0 and sigmoid phi at pi within one epoch, gradients
+        # ~1e-11, training frozen.  Faithful to the reference's commented
+        # head (model/net.py:14-37) but a trap for real runs.
+        print("warning: the polar DRN head saturates easily and can freeze "
+              "training (softplus MET -> 0, sigmoid phi -> pi); "
+              "--drn_head cartesian is the robust choice")
     drn_over = {}
     if args.drn_aggr is not None:
         drn_over["aggr"] = args.drn_aggr

@@ -64,6 +64,13 @@ class DRNConfig:
     # is uncapped; nodes whose undirected degree exceeds the cap keep a
     # truncated neighbor set (policy documented in ops/dyn_graph.py).
     und_cap: "int | None" = None
+    # Run the EdgeConv gather's backward as a mirror gather instead of
+    # XLA's scatter-add adjoint (ops/segment.gather_neighbors_mirror).
+    # Numerically identical (tests/test_dyn_graph.py); costs a [B,N,K,K]
+    # mirror-slot build per round — measured net-negative on v5e at the
+    # training scale (the scatter adjoint is not the bottleneck there),
+    # so off by default; kept selectable for other scales/backends.
+    mirror_gather: bool = False
     # 'add' is the DRN ctor default (model/dynamic_reduction_network.py:40)
     # and is what makes a *sum* target (MET) representable through the
     # pooling stack; the commented-out Net used 'max' (model/net.py:17).

@@ -204,16 +204,26 @@ def drn_apply(
 
     new_states: List[BatchNormState] = []
     for r in range(cfg.pool_rounds):
+        round_gather = gather_fn
         if knn_fn is None:
             g = build_dyn_graph(h, mask, k=cfg.k, cap=cfg.und_cap,
                                 force=graph_force,
-                                interpret=graph_interpret)
+                                interpret=graph_interpret,
+                                want_mirror=cfg.mirror_gather)
             nbr = g.nbr
+            if g.mirror is not None and gather_fn is gather_neighbors:
+                # symmetric list: the conv backward runs as a mirror
+                # gather instead of XLA's scatter-add adjoint
+                from deepmetv2_tpu.ops.segment import gather_neighbors_mirror
+
+                mirror = g.mirror
+                round_gather = (
+                    lambda v, n, m=mirror: gather_neighbors_mirror(v, n, m))
         else:
             g = None
             nbr = to_undirected(knn_fn(h, mask), cap=cfg.und_cap)
         h, bn_s = _drn_edgeconv(params["convs"][r], state["convs"][r], h,
-                                nbr, cfg.aggr, train, gather_fn)
+                                nbr, cfg.aggr, train, round_gather)
         new_states.append(bn_s)
         if g is not None:
             cluster, partner = cut_matching(g, h, mask)

@@ -56,7 +56,7 @@ DENSE_MATCH_MAX_N = 4096
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["nbr", "d2v", "t", "h0"],
+    data_fields=["nbr", "d2v", "t", "h0", "mirror"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
@@ -64,12 +64,16 @@ class DynGraph:
     """One round's dynamic graph.  ``d2v``/``t``/``h0`` are populated by
     the fused TPU build (None on the composed path): per-listed-edge
     squared distances, per-node k-th-NN thresholds, and the (stop-
-    gradient-ed) features the graph was built from."""
+    gradient-ed) features the graph was built from.  ``mirror`` (both
+    paths) is the mirror-slot table of the symmetric list
+    (ops/segment.mirror_slots) — it turns the EdgeConv gather's adjoint
+    into a gather (no scatter-add in the conv backward)."""
 
     nbr: Neighborhood
     d2v: Optional[jnp.ndarray]   # [B, N, cap] or None
     t: Optional[jnp.ndarray]     # [B, N] or None
     h0: Optional[jnp.ndarray]    # [B, N, H] or None
+    mirror: Optional[jnp.ndarray] = None   # [B, N, cap] int32 or None
 
 
 def _fused_available(n: int, cap: int, interpret: bool) -> bool:
@@ -98,10 +102,19 @@ def build_dyn_graph(
     cap: Optional[int] = None,
     force: Optional[str] = None,   # None (auto) | 'fused' | 'composed'
     interpret: bool = False,
+    want_mirror: bool = False,
 ) -> DynGraph:
     """Symmetrized feature-space kNN graph of ``h`` (equivalent of
     ``to_undirected(knn_graph(h, mask, k))``), strategy per module
-    docstring.  Always non-differentiable."""
+    docstring.  Always non-differentiable.
+
+    ``want_mirror`` additionally builds the mirror-slot table
+    (ops/segment.mirror_slots) so the EdgeConv backward can run as a
+    gather; on the fused path this also enforces mutual-keep (drops
+    cap-bound one-sided edges — the composed path's semantics), making
+    the list exactly symmetric."""
+    from deepmetv2_tpu.ops.segment import mirror_slots
+
     cap = 2 * k if cap is None else cap
     h = jax.lax.stop_gradient(h)
     fused = (force == "fused" or
@@ -111,8 +124,15 @@ def build_dyn_graph(
 
         nbr, d2v, t = knn_und_graph(h, mask, k=k, cap=cap,
                                     interpret=interpret)
+        if want_mirror:
+            mirror, found = mirror_slots(nbr)
+            nbr = Neighborhood(idx=nbr.idx, mask=found)
+            return DynGraph(nbr=nbr, d2v=d2v, t=t, h0=h, mirror=mirror)
         return DynGraph(nbr=nbr, d2v=d2v, t=t, h0=h)
     nbr = to_undirected(knn_graph(h, mask, k=k, loop=False), cap=cap)
+    if want_mirror:
+        mirror, _ = mirror_slots(nbr)   # symmetric by construction
+        return DynGraph(nbr=nbr, d2v=None, t=None, h0=None, mirror=mirror)
     return DynGraph(nbr=nbr, d2v=None, t=None, h0=None)
 
 

@@ -96,3 +96,72 @@ def neighbor_reduce(
         mn = jnp.min(jnp.where(m, g, jnp.inf), axis=2)
         return jnp.where(jnp.any(m, axis=2), mn, empty_value)
     raise ValueError(f"unknown reduction {reduction!r}")
+
+
+def mirror_slots(nbr: Neighborhood):
+    """Per-edge mirror slots of a neighbor list: ``mirror[b, i, s]`` is the
+    slot ``s'`` with ``idx[b, idx[b, i, s], s'] == i`` — the same undirected
+    edge seen from the other endpoint.  Returns ``(mirror, found)``;
+    ``found`` marks valid slots whose reverse edge is present (on a
+    symmetric list, ``found == mask``).
+
+    This is the structure that lets EdgeConv's backward run as a GATHER
+    instead of a scatter-add (``gather_neighbors_mirror``): on TPU, XLA
+    lowers the scatter-add adjoint of a neighbor gather far less
+    efficiently than the gather itself, and for a symmetric graph the
+    adjoint IS a gather — ``dc[b, j] = sum_s ct[b, idx[b, j, s],
+    mirror[b, j, s]]`` — because edges incoming to j are exactly j's own
+    slots read from the other side.
+    """
+    idx, mask = nbr.idx, nbr.mask
+    N = idx.shape[1]
+    rows = jax.vmap(lambda v, i: v[i])(idx, idx)     # [B, N, K, K]
+    rowm = jax.vmap(lambda v, i: v[i])(mask, idx)
+    i_ids = jnp.arange(N, dtype=idx.dtype)[None, :, None, None]
+    hit = (rows == i_ids) & rowm & mask[..., None]
+    found = jnp.any(hit, axis=-1)
+    mirror = jnp.argmax(hit, axis=-1).astype(jnp.int32)
+    return mirror, found
+
+
+@jax.custom_vjp
+def _gather_mirror(values, idx, mask, mirror):
+    g = jax.vmap(lambda v, i: v[i])(values, idx)
+    return jnp.where(mask[..., None], g, 0)
+
+
+def _gather_mirror_fwd(values, idx, mask, mirror):
+    return _gather_mirror(values, idx, mask, mirror), (idx, mask, mirror)
+
+
+def _gather_mirror_bwd(res, ct):
+    import numpy as np
+    from jax.dtypes import float0
+
+    idx, mask, mirror = res
+    B, N, K = idx.shape
+    flat = ct.reshape(B, N * K, ct.shape[-1])
+    fidx = (idx * K + mirror).reshape(B, N * K)
+    picked = jax.vmap(lambda v, i: v[i])(flat, fidx).reshape(ct.shape)
+    dc = jnp.sum(jnp.where(mask[..., None], picked, 0), axis=2)
+    zero = lambda a: np.zeros(a.shape, dtype=float0)
+    return dc, zero(idx), zero(mask), zero(mirror)
+
+
+_gather_mirror.defvjp(_gather_mirror_fwd, _gather_mirror_bwd)
+
+
+def gather_neighbors_mirror(values: jnp.ndarray, nbr: Neighborhood,
+                            mirror: jnp.ndarray) -> jnp.ndarray:
+    """Masked neighbor gather (invalid slots read 0) whose ADJOINT is also
+    a gather, via ``mirror`` from :func:`mirror_slots`.
+
+    PRECONDITION: ``nbr`` is symmetric and ``mirror`` is its mirror-slot
+    table (``found == mask``) — i.e. every valid edge appears in both
+    endpoints' lists.  ``to_undirected`` output satisfies this by
+    construction (mutual-keep); the fused dynamic build enforces it by
+    intersecting with ``found``.  Numerically identical to
+    ``where(mask, gather_neighbors(values, nbr), 0)`` in fwd AND bwd (the
+    adjoint sums the same cotangents, reassociated per-node).
+    """
+    return _gather_mirror(values, nbr.idx, nbr.mask, mirror)
