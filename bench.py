@@ -648,7 +648,8 @@ def main() -> None:
         loss + bwd + AdamW as one program), state chained through scan."""
         step = make_train_step(c)
         state = init_train_state(*graph_met_init(jax.random.PRNGKey(0)), c)
-        return _slope_time(lambda s, _: (step(s, dbatch)[0], None), state)
+        return _slope_time(lambda s, _: (step(s, dbatch)[0], None), state,
+                           label="train_step" + ("_presorted" if c.graph.presorted else ""))
 
     t_step = step_chain(cfg)            # includes the per-step argsort
     t_step_pre = step_chain(cfg_pre)    # loader presorted: argsort-free
@@ -663,7 +664,7 @@ def main() -> None:
         _, loss, _ = eval_step(p, bn, dbatch)
         return jax.tree_util.tree_map(lambda a: a + 1e-18 * loss, p), None
 
-    t_infer = _slope_time(infer_body, params)
+    t_infer = _slope_time(infer_body, params, label="inference")
 
     _progress("drn section")
     drn = _drn_section(on_tpu)
