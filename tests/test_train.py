@@ -234,6 +234,40 @@ class TestDRNTraining:
         met = np.hypot(np.asarray(v)[:, 0], np.asarray(v)[:, 1])
         assert np.all(met >= 0)
 
+    def test_drn_training_moves_params_every_epoch(self, tmp_path, loaders):
+        """Regression guard for the frozen-training failure class (a
+        150-epoch polar-head run froze with ~1e-11 gradients inside one
+        epoch): with the cartesian head, parameters must keep moving and
+        the train loss must drop across a few epochs."""
+        import dataclasses
+        from deepmetv2_tpu.models.drn import drn_init
+        from deepmetv2_tpu.train.loop import train_one_epoch
+        from deepmetv2_tpu.train.step import make_drn_train_step
+
+        cfg = _small_cfg()
+        cfg = dataclasses.replace(
+            cfg, drn=dataclasses.replace(cfg.drn, head="cartesian",
+                                         output_scale=50.0))
+        state = init_train_state(*drn_init(jax.random.PRNGKey(3), cfg.drn),
+                                 cfg)
+        step = make_drn_train_step(cfg)
+        losses, snaps = [], []
+        for epoch in range(1, 4):
+            snaps.append(jax.tree_util.tree_map(
+                lambda a: np.asarray(a).copy(), state.params))
+            state, mean_loss = train_one_epoch(
+                state, step, loaders["train"], epoch, verbose=False)
+            losses.append(mean_loss)
+        final = jax.tree_util.tree_map(
+            lambda a: np.asarray(a), state.params)
+        for prev in snaps[1:]:      # every later epoch changed the params
+            moved = sum(
+                float(np.abs(a - b).max()) for a, b in zip(
+                    jax.tree_util.tree_leaves(prev),
+                    jax.tree_util.tree_leaves(final)))
+            assert moved > 1e-6, "parameters stopped moving mid-training"
+        assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
     def test_drn_fit_driver(self, tmp_path, loaders):
         from deepmetv2_tpu.models.drn import drn_init
 
