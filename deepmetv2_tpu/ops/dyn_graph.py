@@ -113,7 +113,7 @@ def build_dyn_graph(
     gather; on the fused path this also enforces mutual-keep (drops
     cap-bound one-sided edges — the composed path's semantics), making
     the list exactly symmetric."""
-    from deepmetv2_tpu.ops.segment import mirror_slots
+    from deepmetv2_tpu.ops.segment import mirror_slots_sorted
 
     cap = 2 * k if cap is None else cap
     h = jax.lax.stop_gradient(h)
@@ -125,13 +125,13 @@ def build_dyn_graph(
         nbr, d2v, t = knn_und_graph(h, mask, k=k, cap=cap,
                                     interpret=interpret)
         if want_mirror:
-            mirror, found = mirror_slots(nbr)
+            mirror, found = mirror_slots_sorted(nbr)
             nbr = Neighborhood(idx=nbr.idx, mask=found)
             return DynGraph(nbr=nbr, d2v=d2v, t=t, h0=h, mirror=mirror)
         return DynGraph(nbr=nbr, d2v=d2v, t=t, h0=h)
     nbr = to_undirected(knn_graph(h, mask, k=k, loop=False), cap=cap)
     if want_mirror:
-        mirror, _ = mirror_slots(nbr)   # symmetric by construction
+        mirror, _ = mirror_slots_sorted(nbr)  # symmetric by construction
         return DynGraph(nbr=nbr, d2v=None, t=None, h0=None, mirror=mirror)
     return DynGraph(nbr=nbr, d2v=None, t=None, h0=None)
 

@@ -165,3 +165,35 @@ def gather_neighbors_mirror(values: jnp.ndarray, nbr: Neighborhood,
     adjoint sums the same cotangents, reassociated per-node).
     """
     return _gather_mirror(values, nbr.idx, nbr.mask, mirror)
+
+
+def mirror_slots_sorted(nbr: Neighborhood):
+    """Same contract as :func:`mirror_slots`, built in O(E log E) instead
+    of O(E·K): encode each directed slot (i, s) -> j as the key i·N + j,
+    sort the keys once, and look each slot's REVERSED key (j·N + i) up by
+    binary search — the hit's slot index, reduced mod K, is the mirror
+    slot.  Keys are unique over valid slots (lists are deduplicated), and
+    asymmetric edges simply miss (``found`` False) without disturbing any
+    other pairing.  The [B,N,K,K] row-compare variant cost more than the
+    scatter adjoint it was built to replace; this one is ~K× cheaper.
+    """
+    idx, mask = nbr.idx, nbr.mask
+    B, N, K = idx.shape
+    rows = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :, None],
+                            (B, N, K))
+    E = N * K
+    big = jnp.int32(N) * jnp.int32(N)
+    # unique sentinels keep invalid slots out of every search window
+    sent = big + jnp.arange(E, dtype=jnp.int32).reshape(1, N, K)
+    key_fwd = jnp.where(mask, rows * N + idx, sent).reshape(B, E)
+    key_rev = jnp.where(mask, idx * N + rows, big + E + sent).reshape(B, E)
+
+    order = jnp.argsort(key_fwd, axis=-1)
+    sorted_fwd = jnp.take_along_axis(key_fwd, order, axis=-1)
+    pos = jax.vmap(lambda sk, q: jnp.searchsorted(sk, q))(sorted_fwd, key_rev)
+    pos = jnp.minimum(pos, E - 1)
+    hit_key = jnp.take_along_axis(sorted_fwd, pos, axis=-1)
+    found = (hit_key == key_rev).reshape(B, N, K) & mask
+    mirror = (jnp.take_along_axis(order, pos, axis=-1).reshape(B, N, K)
+              % K).astype(jnp.int32)
+    return jnp.where(found, mirror, 0), found
