@@ -412,10 +412,14 @@ def _sweep(on_tpu: bool) -> list:
                 return f
 
             _progress(f"sweep {n}x{h}: ranking {len(CANDIDATES)} candidates")
-            f0 = chain_of(CANDIDATES[0], 16)
-            t0 = time.perf_counter()
-            _fetch(f0((x, w)))
-            pilot = max((time.perf_counter() - t0 - 0.15) / 16, 1e-5)
+            # Pilot per-iteration time from a measured two-length pair —
+            # the dispatch+fetch overhead swings >100 ms run-to-run, so a
+            # hardcoded constant can size k_sel 2x off (ADVICE r3); the
+            # slope cancels the fixed part exactly like _slope_time.
+            f0, f1 = chain_of(CANDIDATES[0], 16), chain_of(CANDIDATES[0], 64)
+            t16 = min(_timed_fetch(f0, (x, w)) for _ in range(2))
+            t64 = min(_timed_fetch(f1, (x, w)) for _ in range(2))
+            pilot = max((t64 - t16) / 48, 1e-6)
             k_sel = min(4096, max(16, _pow2_at_least(int(0.5 / pilot))))
             ranked = []
             for cand in CANDIDATES:
@@ -586,7 +590,37 @@ def _drn_section(on_tpu: bool) -> dict:
     if on_tpu:
         out["step_speedup_vs_composed"] = (
             out["train_step_composed_ms"] / out["train_step_fused_ms"])
+
+    # --- distributed graph-build comm model (single-chip environment: a
+    # static model, not a measurement).  Per reduction round on an n_node
+    # shard axis, the all-gather build lands the full feature block on
+    # every chip; the ring build rotates one n_loc block per step.  Peak
+    # per-chip collective buffer is the ring's reason to exist; total
+    # received bytes are the same (exact kNN must see every source).
+    n_node = 8
+    n_loc = N // n_node
+    f32 = 4
+    out["ep_comm_model"] = {
+        "n_node": n_node,
+        "allgather_recv_bytes_per_chip": B * (N - n_loc) * H * f32,
+        "allgather_peak_buffer_bytes": B * N * H * f32,
+        "ring_recv_bytes_per_chip": (n_node - 1) * B * n_loc * H * f32,
+        "ring_peak_buffer_bytes": B * n_loc * (H + k) * f32,
+    }
     return out
+
+
+def _round_floats(obj, ndigits: int = 5):
+    """Round every float in a JSON-able tree — the committed artifact is
+    tail-truncated by the driver, so shorter is safer (full precision is
+    never needed for ms/fraction diagnostics)."""
+    if isinstance(obj, float):
+        return round(obj, ndigits)
+    if isinstance(obj, dict):
+        return {k: _round_floats(v, ndigits) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_round_floats(v, ndigits) for v in obj]
+    return obj
 
 
 def main() -> None:
@@ -700,40 +734,93 @@ def main() -> None:
     t_pref, stt = time_epoch(lambda: prefetch_to_device(ld), stt)
     n_ev = len(ld) * B
 
+    # Chained feed (train/chain.py): K steps per device program — the
+    # production default (TrainConfig.chain_steps).  Same batches, same
+    # math (bit-identical trajectory, tests/test_chain.py); only the
+    # dispatch granularity changes.
+    from deepmetv2_tpu.train.chain import (chain_batches,
+                                           make_chained_train_step)
+
+    chained_rates = {}
+    for k_chain in (8, len(ld)):
+        cstep = make_chained_train_step(cfg)
+        stc = init_train_state(*graph_met_init(jax.random.PRNGKey(1)), cfg)
+
+        def chained_epoch():
+            return prefetch_to_device(chain_batches(iter(ld), k_chain))
+
+        def run_chained(stc):
+            best = float("inf")
+            for _ in range(4):
+                t0 = time.perf_counter()
+                for sbatch in chained_epoch():
+                    stc, losses = cstep(stc, sbatch)
+                _fetch(losses)
+                best = min(best, time.perf_counter() - t0)
+            return best, stc
+
+        _progress(f"epoch feed chained k={k_chain}")
+        t_chain, stc = run_chained(stc)
+        chained_rates[k_chain] = n_ev / t_chain
+    t_chain8 = n_ev / chained_rates[8]
+
+    # Key ORDER matters for the committed artifact: the driver records the
+    # TAIL of this (single) JSON line, so the headline metric, the compact
+    # summary, and vs_baseline go LAST — BENCH_r*.json parses to the
+    # headline even when the head of the line is truncated (VERDICT r3 #6).
+    extras = {
+        "config": {"B": B, "N": N, "H": H, "K": K, "r": R, "halo": halo,
+                   "true_edges": edges},
+        "numerics": numerics,
+        "window_pallas_ms": t_fast * 1e3,
+        "naive_refdesign_ms": t_naive * 1e3,
+        "factored_nbrlist_ms": t_factored * 1e3,
+        "sweep": sweep,
+        "train_step_window_ms": t_step * 1e3,
+        "train_step_presorted_ms": t_step_pre * 1e3,
+        "train_step_events_per_s": B / t_step_pre,
+        "epoch_feed_sync_events_per_s": n_ev / t_sync,
+        "epoch_feed_prefetch_events_per_s": n_ev / t_pref,
+        "epoch_feed_chained_events_per_s": chained_rates[8],
+        "epoch_feed_chained_full_events_per_s": chained_rates[len(ld)],
+        "chain_speedup_vs_per_step": t_pref / t_chain8,
+        "prefetch_speedup": t_sync / t_pref,
+        "inference_step_ms": t_infer * 1e3,
+        "inference_events_per_s": B / t_infer,
+        "drn": drn,
+        "timing_warnings": _TIMING_WARNINGS,
+        "device": str(jax.devices()[0]),
+    }
+    # headline speed-of-light statement: the binding speed-of-light
+    # fraction (max of DMA-bytes and VPU-ops models) of the headline row
+    sol = None
+    for row in sweep:
+        if ((row["B"], row["N"], row["H"]) == (B, N, H)
+                and "sol_fraction_model" in row):
+            sol = extras["headline_sol_fraction_model"] = (
+                row["sol_fraction_model"])
+    summary = {  # one-look recap of every subsystem's headline number
+        "window_pallas_ms": round(t_fast * 1e3, 4),
+        "sol_fraction": sol and round(sol, 3),
+        "train_step_events_per_s": round(B / t_step_pre, 1),
+        "epoch_feed_events_per_s": round(n_ev / t_pref, 1),
+        "epoch_feed_chained_events_per_s": round(chained_rates[8], 1),
+        "drn_step_events_per_s": round(drn.get(
+            "train_step_events_per_s", 0.0), 1),
+        "sweep_edges_per_s": {
+            f"{r_['N']}x{r_['H']}": round(r_["edges_per_s"] / 1e6, 1)
+            for r_ in sweep},
+        "timing_warnings": len(_TIMING_WARNINGS),
+        "numerics_ok": numerics["ok"] and drn["numerics"]["ok"],
+    }
     result = {
+        "extras": _round_floats(extras),
+        "summary": summary,
         "metric": "edgeconv_fwd_bwd_edges_per_s",
         "value": edges / t_fast,
         "unit": "edges/s",
         "vs_baseline": t_naive / t_fast,
-        "extras": {
-            "config": {"B": B, "N": N, "H": H, "K": K, "r": R, "halo": halo,
-                       "true_edges": edges},
-            "numerics": numerics,
-            "window_pallas_ms": t_fast * 1e3,
-            "naive_refdesign_ms": t_naive * 1e3,
-            "factored_nbrlist_ms": t_factored * 1e3,
-            "sweep": sweep,
-            "train_step_window_ms": t_step * 1e3,
-            "train_step_presorted_ms": t_step_pre * 1e3,
-            "train_step_events_per_s": B / t_step_pre,
-            "epoch_feed_sync_events_per_s": n_ev / t_sync,
-            "epoch_feed_prefetch_events_per_s": n_ev / t_pref,
-            "prefetch_speedup": t_sync / t_pref,
-            "inference_step_ms": t_infer * 1e3,
-            "inference_events_per_s": B / t_infer,
-            "drn": drn,
-            "timing_warnings": _TIMING_WARNINGS,
-            "device": str(jax.devices()[0]),
-        },
     }
-    # headline speed-of-light statement: the bytes-model bandwidth of the
-    # headline sweep row (same B/N/H as the metric): the binding
-    # speed-of-light fraction (max of DMA-bytes and VPU-ops models)
-    for row in sweep:
-        if ((row["B"], row["N"], row["H"]) == (B, N, H)
-                and "sol_fraction_model" in row):
-            result["extras"]["headline_sol_fraction_model"] = (
-                row["sol_fraction_model"])
     _progress("done")
     print(json.dumps(result))
 

@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "saturating activations trap training at MET=0 / "
                         "phi=pi with vanishing gradients) or 'cartesian' "
                         "(direct METx/METy regression; recommended)")
+    p.add_argument("--ring_knn", action="store_true",
+                   help="node-sharded DRN runs (--model drn --mesh DxN): "
+                        "build each round's kNN graph with the "
+                        "ring-pipelined top-k instead of the all-gather "
+                        "build — O(B*n_loc*(D+k)) peak per-chip memory, "
+                        "for events larger than one chip")
     p.add_argument("--grad_clip", type=float, default=None,
                    help="global-norm gradient clipping (default: off, "
                         "matching the reference)")
@@ -174,6 +180,11 @@ def main(argv=None) -> int:
         drn_over["aggr"] = args.drn_aggr
     if args.drn_head is not None:
         drn_over["head"] = args.drn_head
+    if args.ring_knn:
+        if not (args.model == "drn" and mesh_dims and mesh_dims[1] > 1):
+            raise SystemExit("--ring_knn requires --model drn and a "
+                             "node-sharded mesh (--mesh DxN, N > 1)")
+        drn_over["ring_knn"] = True
     if drn_over:
         cfg = dataclasses.replace(
             cfg, drn=dataclasses.replace(cfg.drn, **drn_over))

@@ -66,10 +66,14 @@ class DRNConfig:
     und_cap: "int | None" = None
     # Run the EdgeConv gather's backward as a mirror gather instead of
     # XLA's scatter-add adjoint (ops/segment.gather_neighbors_mirror).
-    # Numerically identical (tests/test_dyn_graph.py); costs a [B,N,K,K]
-    # mirror-slot build per round — measured net-negative on v5e at the
-    # training scale (the scatter adjoint is not the bottleneck there),
-    # so off by default; kept selectable for other scales/backends.
+    # Measured net-negative on v5e at the training scale (the scatter
+    # adjoint is not the bottleneck there), so off by default; kept
+    # selectable for other scales/backends.  NOTE: on the FUSED graph
+    # path this also changes topology, not just the backward — the list
+    # is intersected with mutual-keep, dropping cap-bound one-sided
+    # edges, i.e. the composed path's semantics (ops/dyn_graph.py;
+    # equivalence in the hub-free regime is tested in
+    # tests/test_dyn_graph.py::test_fused_mirror_matches_composed).
     mirror_gather: bool = False
     # 'add' is the DRN ctor default (model/dynamic_reduction_network.py:40)
     # and is what makes a *sum* target (MET) representable through the
@@ -81,6 +85,13 @@ class DRNConfig:
     # = direct (METx, METy) regression — better conditioned (no phi
     # wraparound discontinuity at +/-pi, no saturating sigmoid).
     head: str = "polar"
+    # Node-sharded (edge-partitioned) runs only: build each round's
+    # feature-space kNN graph with the ring-pipelined top-k
+    # (parallel/knn.knn_graph_sharded_ring) instead of the all-gather
+    # build.  Exact same graph; peak per-chip memory drops from
+    # O(B·N·D) (the gathered block) to O(B·n_loc·(D+k)) — the knob for
+    # events larger than one chip's memory.  Ignored off-mesh.
+    ring_knn: bool = False
     # Multiplier from network output units to GeV.  MET is O(10²) GeV while
     # the head sees O(1) activations and AdamW moves weights ~lr per step —
     # without this scale the head needs O(scale/lr) steps just to reach the
@@ -133,6 +144,14 @@ class TrainConfig:
     # graphs — a distribution that shifts too fast for momentum-0.1
     # running stats, making raw eval losses erratic.
     bn_refresh_batches: int = 0
+    # Multi-step chained device programs: stack up to this many
+    # consecutive same-shape batches and run them as ONE compiled program
+    # (lax.scan over the stack, train/chain.py) — one dispatch + one
+    # scalar fetch per chain instead of per step.  Bit-identical loss
+    # trajectory (tests/test_chain.py).  1 = dispatch per step (the
+    # reference's structure, train.py:39-54).  Applies to single-device
+    # and data-parallel training; node-sharded (EP) steps stay per-step.
+    chain_steps: int = 8
     qt_max: float = 400.0                # evaluate.py:111-112
     qt_bin_width: float = 10.0
     qt_hist_bins: int = 40

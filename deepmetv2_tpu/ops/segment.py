@@ -176,9 +176,24 @@ def mirror_slots_sorted(nbr: Neighborhood):
     asymmetric edges simply miss (``found`` False) without disturbing any
     other pairing.  The [B,N,K,K] row-compare variant cost more than the
     scatter adjoint it was built to replace; this one is ~K× cheaper.
+
+    PRECONDITION (shared with every ``Neighborhood`` producer in ops/): a
+    node's valid slots list each neighbor at most once.  A duplicated slot
+    would make ``key_fwd`` non-unique, and the binary search would pair
+    both reverse edges with the FIRST duplicate — silently dropping one
+    cotangent in ``gather_neighbors_mirror``'s backward.  ``knn_graph`` /
+    ``to_undirected`` / ``knn_und_graph`` all emit deduplicated lists by
+    construction (tested: tests/test_dyn_graph.py covers the contract).
     """
     idx, mask = nbr.idx, nbr.mask
     B, N, K = idx.shape
+    # Sentinel keys reach ~2·N² + 2·N·K; int32 silently overflows past
+    # N ≈ 32700, corrupting the search windows (ADVICE r3).  Every caller
+    # today is at N ≤ 8192; fail loudly rather than corrupt gradients.
+    if 2 * N * N + 2 * N * K >= 2**31:
+        raise ValueError(
+            f"mirror_slots_sorted: N={N} overflows the int32 key encoding "
+            f"(needs 2N²+2NK < 2³¹); promote keys to int64 to go bigger")
     rows = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :, None],
                             (B, N, K))
     E = N * K

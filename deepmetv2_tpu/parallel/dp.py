@@ -27,11 +27,9 @@ from deepmetv2_tpu.train.loss import loss_fn
 from deepmetv2_tpu.train.step import build_graph
 
 
-def make_dp_train_step(cfg: Config, mesh: Mesh, shard_nodes: bool = False):
-    """jit-compiled data-parallel train step with explicit shardings."""
-    opt = make_optimizer(cfg)
-    rep = replicate(mesh)
-    bsh = batch_sharding(mesh, shard_nodes=shard_nodes)
+def dp_train_step_core(cfg: Config, opt):
+    """Unjitted data-parallel step body — jitted with shardings by
+    :func:`make_dp_train_step`, or scanned by train/chain.make_chained."""
 
     def step(state: TrainState, batch: EventBatch) -> Tuple[TrainState, jax.Array]:
         from deepmetv2_tpu.parallel import context as pctx
@@ -53,8 +51,15 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, shard_nodes: bool = False):
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(new_params, new_bn, new_opt, state.step + 1), loss
 
+    return step
+
+
+def make_dp_train_step(cfg: Config, mesh: Mesh, shard_nodes: bool = False):
+    """jit-compiled data-parallel train step with explicit shardings."""
+    rep = replicate(mesh)
+    bsh = batch_sharding(mesh, shard_nodes=shard_nodes)
     return jax.jit(
-        step,
+        dp_train_step_core(cfg, make_optimizer(cfg)),
         in_shardings=(rep, bsh),       # state replicated, batch sharded
         out_shardings=(rep, rep),
         donate_argnums=(0,),
@@ -119,12 +124,20 @@ def make_drn_dp_train_step(cfg: Config, mesh: Mesh):
     ``data`` axis; the per-round feature-space kNN, coarsening, and
     pooling are all per-event, so they shard trivially, while the edge
     BatchNorm statistics span the global batch via GSPMD psums."""
-    from deepmetv2_tpu.models.drn import drn_net_apply
-    from deepmetv2_tpu.train.loss import drn_loss_fn
-
-    opt = make_optimizer(cfg)
     rep = replicate(mesh)
     bsh = batch_sharding(mesh)
+    return jax.jit(
+        dp_drn_train_step_core(cfg, make_optimizer(cfg)),
+        in_shardings=(rep, bsh),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def dp_drn_train_step_core(cfg: Config, opt):
+    """Unjitted data-parallel DRN step body (see dp_train_step_core)."""
+    from deepmetv2_tpu.models.drn import drn_net_apply
+    from deepmetv2_tpu.train.loss import drn_loss_fn
 
     def step(state: TrainState, batch: EventBatch):
         from deepmetv2_tpu.parallel import context as pctx
@@ -146,9 +159,4 @@ def make_drn_dp_train_step(cfg: Config, mesh: Mesh):
             return TrainState(new_params, new_bn, new_opt,
                               state.step + 1), loss
 
-    return jax.jit(
-        step,
-        in_shardings=(rep, bsh),
-        out_shardings=(rep, rep),
-        donate_argnums=(0,),
-    )
+    return step

@@ -114,7 +114,8 @@ def make_drn_ep_train_step(cfg: Config, mesh: Mesh):
     def step(state: TrainState, batch: EventBatch):
         def objective(params):
             pred, new_bn = drn_net_apply_sharded(
-                params, state.bn_state, batch, True, cfg.drn, mesh)
+                params, state.bn_state, batch, True, cfg.drn, mesh,
+                ring=cfg.drn.ring_knn)
             return drn_loss_fn(pred, batch, cfg.drn.head), new_bn
 
         (loss, new_bn), grads = jax.value_and_grad(objective, has_aux=True)(

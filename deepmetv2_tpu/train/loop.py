@@ -31,34 +31,46 @@ from deepmetv2_tpu.utils.logging import RunningAverage, StepTimer
 
 
 def train_one_epoch(state, train_step, loader: PaddedLoader, epoch: int,
-                    log_every: int = 50, verbose: bool = True, place=None):
+                    log_every: int = 50, verbose: bool = True, place=None,
+                    chain: int = 1):
     """One pass over the training set (reference train.py:34-60).
 
     Unlike the reference's per-step ``loss.item()`` device sync
     (train.py:54), losses stay on device until the epoch ends — steps
     pipeline back-to-back and the host never blocks the TPU.  Batches are
     staged onto the device double-buffered (``prefetch_to_device``);
-    ``place`` overrides the placement for mesh training."""
+    ``place`` overrides the placement for mesh training.
+
+    ``chain > 1``: ``train_step`` must be a chained step
+    (train/chain.make_chained_train_step) — consecutive same-shape
+    batches are stacked and each chain of up to ``chain`` optimizer steps
+    runs as ONE device program, returning its per-step losses."""
     from deepmetv2_tpu.data.loader import prefetch_to_device
+    from deepmetv2_tpu.train.chain import chain_batches
 
     losses = []
     avg = RunningAverage()
     timer = StepTimer()
     timer.start()
-    for i, batch in enumerate(prefetch_to_device(loader, place=place)):
+    feed = chain_batches(loader, chain) if chain > 1 else loader
+    done = 0
+    for i, batch in enumerate(prefetch_to_device(feed, place=place)):
         state, loss = train_step(state, batch)
-        losses.append(loss)            # device scalar — no sync
+        losses.append(loss)            # device scalar(s) — no sync
+        k = loss.shape[0] if loss.ndim else 1
+        done += k
         timer.update(num_edges=0, num_nodes=int(np.sum(np.asarray(batch.num_valid))))
-        if verbose and (i + 1) % log_every == 0:
-            avg.update(float(loss))    # sync only at the logging cadence
+        if verbose and done // log_every > (done - k) // log_every:
+            import jax.numpy as jnp
+            avg.update(float(jnp.mean(loss)))  # sync at the log cadence
             r = timer.rates()
-            print(f"  epoch {epoch} step {i+1}/{len(loader)} "
-                  f"loss {avg():.3f} ({r['steps_per_s']:.2f} it/s)")
+            print(f"  epoch {epoch} step {done}/{len(loader)} "
+                  f"loss {avg():.3f} ({r['steps_per_s'] * k:.2f} it/s)")
     import jax.numpy as jnp
     # one stacked transfer — per-scalar float() fetches are latency-bound
     # through remote-device links (hundreds of round-trips per epoch)
-    mean_loss = (float(jnp.mean(jnp.stack(losses)))
-                 if losses else float("inf"))
+    mean_loss = (float(jnp.mean(jnp.concatenate(
+        [jnp.atleast_1d(l) for l in losses]))) if losses else float("inf"))
     if verbose:
         print(f"Training epoch: {epoch:02d}, MSE: {mean_loss:.4f}")
     return state, mean_loss
@@ -171,30 +183,58 @@ def fit(
     verbose = verbose and primary
     if primary:
         os.makedirs(ckpt_dir, exist_ok=True)
+    # Multi-step chained programs (train/chain.py): K same-shape batches
+    # per dispatch.  Node-sharded (EP) steps and multi-process runs stay
+    # per-step — the chained carriers are the single-process
+    # single-device and data-parallel paths.
+    chain = (max(1, cfg.train.chain_steps)
+             if not shard_nodes and jax.process_count() == 1 else 1)
     if mesh is not None:
         from deepmetv2_tpu.parallel.dp import (make_dp_train_step,
                                                make_drn_dp_train_step)
         from deepmetv2_tpu.parallel.dyn import make_drn_ep_train_step
         from deepmetv2_tpu.parallel.ep import make_ep_train_step
-        from deepmetv2_tpu.parallel.mesh import shard_batch
-        if model == "drn":
-            raw_step = (make_drn_ep_train_step(cfg, mesh) if shard_nodes
-                        else make_drn_dp_train_step(cfg, mesh))
-        else:
-            raw_step = (make_ep_train_step(cfg, mesh) if shard_nodes
-                        else make_dp_train_step(cfg, mesh))
+        from deepmetv2_tpu.parallel.mesh import batch_sharding, shard_batch
+        if chain > 1:
+            from deepmetv2_tpu.train.chain import (make_chained_train_step,
+                                                   prepend_chain_axis)
+            raw_step = make_chained_train_step(cfg, model, mesh)
+            chain_sh = prepend_chain_axis(batch_sharding(mesh))
 
-        def train_step(state, batch):
-            with mesh:
-                return raw_step(state,
-                                shard_batch(batch, mesh, shard_nodes))
+            def place_chain(b):
+                return jax.tree_util.tree_map(jax.device_put, b, chain_sh)
+
+            def train_step(state, stacked):
+                with mesh:
+                    return raw_step(state, place_chain(stacked))
+
+            train_place = place_chain
+        else:
+            if model == "drn":
+                raw_step = (make_drn_ep_train_step(cfg, mesh) if shard_nodes
+                            else make_drn_dp_train_step(cfg, mesh))
+            else:
+                raw_step = (make_ep_train_step(cfg, mesh) if shard_nodes
+                            else make_dp_train_step(cfg, mesh))
+
+            def train_step(state, batch):
+                with mesh:
+                    return raw_step(state,
+                                    shard_batch(batch, mesh, shard_nodes))
+
+            # prefetch placement: stage batches pre-sharded so the steps'
+            # internal shard_batch/device_put is a no-op
+            def train_place(b):
+                return shard_batch(b, mesh, shard_nodes)
 
         eval_step, eval_place = make_sharded_eval(cfg, mesh, model)
-
-        # prefetch placement: stage batches pre-sharded so the steps'
-        # internal shard_batch/device_put is a no-op
-        def train_place(b):
-            return shard_batch(b, mesh, shard_nodes)
+    elif chain > 1:
+        from deepmetv2_tpu.train.chain import make_chained_train_step
+        from deepmetv2_tpu.train.step import make_drn_eval_step
+        train_step = make_chained_train_step(cfg, model)
+        eval_step = (make_drn_eval_step(cfg) if model == "drn"
+                     else make_eval_step(cfg))
+        train_place = eval_place = None
     elif model == "drn":
         from deepmetv2_tpu.train.step import (make_drn_eval_step,
                                               make_drn_train_step)
@@ -248,7 +288,7 @@ def fit(
 
         state, train_loss = train_one_epoch(state, train_step, train_loader,
                                             epoch, verbose=verbose,
-                                            place=train_place)
+                                            place=train_place, chain=chain)
 
         if cfg.train.bn_refresh_batches > 0:
             # precise-BN: re-estimate running statistics under the CURRENT

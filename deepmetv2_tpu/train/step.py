@@ -105,11 +105,12 @@ def build_graph(batch: EventBatch, cfg: Config):
     )
 
 
-def make_train_step(cfg: Config):
-    opt = make_optimizer(cfg)
+def train_step_core(cfg: Config, opt):
+    """Unjitted train-step body ``(state, batch) -> (state, loss)`` — jitted
+    standalone by :func:`make_train_step`, or scanned over a stacked chain
+    of batches by train/chain.py (one device program per K steps)."""
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, batch: EventBatch) -> Tuple[TrainState, jnp.ndarray]:
+    def core(state: TrainState, batch: EventBatch) -> Tuple[TrainState, jnp.ndarray]:
         batch, nbr = build_graph(batch, cfg)
 
         def objective(params):
@@ -124,7 +125,12 @@ def make_train_step(cfg: Config):
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(new_params, new_bn, new_opt, state.step + 1), loss
 
-    return train_step
+    return core
+
+
+def make_train_step(cfg: Config):
+    return jax.jit(train_step_core(cfg, make_optimizer(cfg)),
+                   donate_argnums=(0,))
 
 
 def eval_step_body(cfg: Config):
@@ -195,12 +201,16 @@ def make_drn_train_step(cfg: Config, graph_force=None):
     reduction round (reference model/dynamic_reduction_network.py:86,94).
     ``graph_force`` pins the dynamic-graph strategy ('fused'/'composed',
     ops/dyn_graph.py) — bench/debug knob; None auto-selects."""
+    return jax.jit(
+        drn_train_step_core(cfg, make_optimizer(cfg), graph_force),
+        donate_argnums=(0,))
+
+
+def drn_train_step_core(cfg: Config, opt, graph_force=None):
+    """Unjitted DRN train-step body (see :func:`train_step_core`)."""
     from deepmetv2_tpu.models.drn import drn_net_apply
 
-    opt = make_optimizer(cfg)
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, batch: EventBatch):
+    def core(state: TrainState, batch: EventBatch):
         def objective(params):
             pred, new_bn = drn_net_apply(params, state.bn_state, batch,
                                          train=True, cfg=cfg.drn,
@@ -214,7 +224,7 @@ def make_drn_train_step(cfg: Config, graph_force=None):
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(new_params, new_bn, new_opt, state.step + 1), loss
 
-    return train_step
+    return core
 
 
 def make_drn_eval_step(cfg: Config):

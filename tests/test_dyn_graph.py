@@ -131,6 +131,62 @@ class TestCutMatchingDispatch:
         np.testing.assert_array_equal(np.asarray(pa_f), np.asarray(pa_c))
 
 
+class TestFusedMirrorTopology:
+    def test_fused_mirror_matches_composed(self):
+        """``want_mirror=True`` on the fused path intersects the list with
+        mutual-keep — the composed path's semantics (ADVICE r3): in the
+        hub-free regime the two must produce identical topology AND the
+        mirror table must be a valid involution."""
+        h, mask = _inputs(B=2, N=128, H=8, seed=29)
+        g_f = build_dyn_graph(h, mask, k=4, cap=64, force="fused",
+                              interpret=True, want_mirror=True)
+        g_c = build_dyn_graph(h, mask, k=4, cap=64, force="composed",
+                              want_mirror=True)
+        np.testing.assert_array_equal(_canon(g_f.nbr), _canon(g_c.nbr))
+        idx, m = np.asarray(g_f.nbr.idx), np.asarray(g_f.nbr.mask)
+        mir = np.asarray(g_f.mirror)
+        B, N, K = idx.shape
+        for b in range(B):
+            for i in range(N):
+                for s in range(K):
+                    if m[b, i, s]:
+                        j = idx[b, i, s]
+                        assert idx[b, j, mir[b, i, s]] == i
+
+
+class TestMirrorSlotsSortedContract:
+    def test_int32_overflow_guard(self):
+        """N past the int32 key-encoding bound must fail loudly (ADVICE
+        r3), not corrupt pairings.  Uses a zero-size view: the guard fires
+        before any compute."""
+        from deepmetv2_tpu.data.batching import Neighborhood
+        from deepmetv2_tpu.ops.segment import mirror_slots_sorted
+
+        N = 40000
+        idx = jnp.zeros((1, N, 2), jnp.int32)
+        mask = jnp.zeros((1, N, 2), bool)
+        with pytest.raises(ValueError, match="int32"):
+            mirror_slots_sorted(Neighborhood(idx, mask))
+
+    def test_duplicate_slot_detected_by_roundtrip(self):
+        """Documents the dedup precondition (ADVICE r3): with a duplicated
+        valid slot the sorted-key pairing maps both reverse edges onto one
+        duplicate — the involution property breaks.  All in-tree producers
+        emit deduplicated lists; this test pins the failure mode so the
+        contract is visible."""
+        from deepmetv2_tpu.data.batching import Neighborhood
+        from deepmetv2_tpu.ops.segment import mirror_slots_sorted
+
+        # 0 lists 1 twice; 1 lists 0 twice.  Pairing cannot be a bijection.
+        idx = jnp.asarray([[[1, 1], [0, 0]]], jnp.int32)
+        mask = jnp.ones((1, 2, 2), bool)
+        mirror, found = mirror_slots_sorted(Neighborhood(idx, mask))
+        mir = np.asarray(mirror)[0]
+        # both of node 0's slots point at the SAME slot of node 1 -> the
+        # backward would drop one cotangent (why the precondition exists)
+        assert mir[0, 0] == mir[0, 1]
+
+
 class TestDrnFusedParity:
     def test_drn_apply_fused_matches_composed(self):
         from deepmetv2_tpu.config import DRNConfig
