@@ -130,8 +130,41 @@ def _edge_batchnorm(params, st: BatchNormState, msgs: jnp.ndarray,
     return (msgs - mean) * inv * params["gamma"] + params["beta"], new_st
 
 
+def _fused_conv_available(mlp, x, nbr: Neighborhood,
+                          force, interpret: bool) -> bool:
+    """Fused Pallas edge-MLP conv (ops/pallas/edge_mlp.py) eligibility:
+    the 2-layer DRN MLP shape, supported tiling, a TPU backend (or
+    interpret mode), and not inside a GSPMD-sharded trace (pallas_call
+    has no SPMD partitioning rule — the XLA formulation shards for
+    free)."""
+    if force == "xla":
+        return False
+    if len(mlp) != 2:
+        return False
+    from deepmetv2_tpu.ops.pallas.edge_mlp import supported
+    from deepmetv2_tpu.parallel import context as pctx
+
+    B, N, H = x.shape
+    K = nbr.idx.shape[-1]
+    F1 = mlp["lin0"]["w"].shape[-1]
+    H2 = mlp["lin1"]["w"].shape[-1]
+    if not supported(N, K, H, F1, H2):
+        return False
+    if force == "fused":
+        return True
+    if pctx.xla_window_forced():
+        return False
+    if interpret:
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _drn_edgeconv(conv_params, bn_state, x, nbr: Neighborhood, aggr: str,
-                  train: bool, gather_fn=gather_neighbors):
+                  train: bool, gather_fn=gather_neighbors,
+                  conv_force=None, conv_interpret: bool = False):
     """EdgeConv with the DRN's nonlinear edge-MLP + edge BatchNorm.
     ``gather_fn(x, nbr)`` fetches neighbor features — the node-sharded path
     (parallel/dyn.py) swaps in an all-gather-backed gather.
@@ -148,6 +181,27 @@ def _drn_edgeconv(conv_params, bn_state, x, nbr: Neighborhood, aggr: str,
     concat form up to float summation order (the identical factorization
     tier-1 EdgeConv uses, ops/edgeconv.py)."""
     mlp = conv_params["mlp"]
+    if _fused_conv_available(mlp, x, nbr, conv_force, conv_interpret):
+        from deepmetv2_tpu.ops.pallas.edge_mlp import edge_mlp_conv
+
+        bn_p = conv_params["bn"]
+        xj = gather_fn(x, nbr)                        # [B, N, K, H]
+        out, mean, var = edge_mlp_conv(
+            x, xj, nbr.mask, mlp, bn_p["gamma"], bn_p["beta"],
+            bn_state.mean, bn_state.var, train, aggr,
+            interpret=conv_interpret)
+        if train:
+            momentum = 0.1
+            n = jnp.maximum(jnp.sum(nbr.mask), 1).astype(var.dtype)
+            unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+            new_bn = BatchNormState(
+                mean=(1 - momentum) * bn_state.mean + momentum * mean,
+                var=(1 - momentum) * bn_state.var + momentum * unbiased,
+                count=bn_state.count + 1,
+            )
+        else:
+            new_bn = bn_state
+        return out, new_bn
     H = x.shape[-1]
     w0, b0 = mlp["lin0"]["w"], mlp["lin0"]["b"]
     w_self, w_diff = w0[:H], w0[H:]
@@ -186,6 +240,8 @@ def drn_apply(
     gather_fn=gather_neighbors,
     graph_force=None,
     graph_interpret: bool = False,
+    conv_force=None,
+    conv_interpret: bool = False,
 ) -> Tuple[jnp.ndarray, State]:
     """Forward → per-event outputs [B, output_dim]
     (reference model/dynamic_reduction_network.py:82-103).
@@ -223,7 +279,8 @@ def drn_apply(
             g = None
             nbr = to_undirected(knn_fn(h, mask), cap=cfg.und_cap)
         h, bn_s = _drn_edgeconv(params["convs"][r], state["convs"][r], h,
-                                nbr, cfg.aggr, train, round_gather)
+                                nbr, cfg.aggr, train, round_gather,
+                                conv_force, conv_interpret)
         new_states.append(bn_s)
         if g is not None:
             cluster, partner = cut_matching(g, h, mask)
@@ -243,7 +300,8 @@ def drn_apply(
 def drn_net_apply(params, state, batch: EventBatch, train: bool = False,
                   cfg: DRNConfig = DRNConfig(), knn_fn=None,
                   gather_fn=gather_neighbors, graph_force=None,
-                  graph_interpret: bool = False):
+                  graph_interpret: bool = False, conv_force=None,
+                  conv_interpret: bool = False):
     """Output head on top of ``drn_apply``.
 
     ``cfg.head == 'polar'``: the commented-out DRN ``Net`` head (reference
@@ -254,7 +312,7 @@ def drn_net_apply(params, state, batch: EventBatch, train: bool = False,
         [batch.x_cont, batch.x_cat.astype(batch.x_cont.dtype)], axis=-1)
     out, new_state = drn_apply(params, state, x, batch.mask, train, cfg,
                                knn_fn, gather_fn, graph_force,
-                               graph_interpret)
+                               graph_interpret, conv_force, conv_interpret)
     if cfg.head == "cartesian":
         return cfg.output_scale * out[:, 0:2], new_state
     met = cfg.output_scale * jax.nn.softplus(out[:, 0:1])

@@ -56,7 +56,7 @@ DENSE_MATCH_MAX_N = 4096
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["nbr", "d2v", "t", "h0", "mirror"],
+    data_fields=["nbr", "d2v", "t", "h0", "mirror", "rel"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
@@ -74,6 +74,11 @@ class DynGraph:
     t: Optional[jnp.ndarray]     # [B, N] or None
     h0: Optional[jnp.ndarray]    # [B, N, H] or None
     mirror: Optional[jnp.ndarray] = None   # [B, N, cap] int32 or None
+    # [B, N, N] f32 0/1 threshold-relation rows emitted by the extract
+    # kernel (want_rel) — the dense cut matching's adjacency, bitwise the
+    # decisions the extraction itself made.  None on the composed path
+    # and above DENSE_MATCH_MAX_N.
+    rel: Optional[jnp.ndarray] = None
 
 
 def _fused_available(n: int, cap: int, interpret: bool) -> bool:
@@ -122,13 +127,21 @@ def build_dyn_graph(
     if fused:
         from deepmetv2_tpu.ops.pallas.knn_und import knn_und_graph
 
-        nbr, d2v, t = knn_und_graph(h, mask, k=k, cap=cap,
-                                    interpret=interpret)
+        want_rel = h.shape[1] <= DENSE_MATCH_MAX_N
+        if want_rel:
+            nbr, d2v, t, rel = knn_und_graph(h, mask, k=k, cap=cap,
+                                             interpret=interpret,
+                                             want_rel=True)
+        else:
+            nbr, d2v, t = knn_und_graph(h, mask, k=k, cap=cap,
+                                        interpret=interpret)
+            rel = None
         if want_mirror:
             mirror, found = mirror_slots_sorted(nbr)
             nbr = Neighborhood(idx=nbr.idx, mask=found)
-            return DynGraph(nbr=nbr, d2v=d2v, t=t, h0=h, mirror=mirror)
-        return DynGraph(nbr=nbr, d2v=d2v, t=t, h0=h)
+            return DynGraph(nbr=nbr, d2v=d2v, t=t, h0=h, mirror=mirror,
+                            rel=rel)
+        return DynGraph(nbr=nbr, d2v=d2v, t=t, h0=h, rel=rel)
     nbr = to_undirected(knn_graph(h, mask, k=k, loop=False), cap=cap)
     if want_mirror:
         mirror, _ = mirror_slots_sorted(nbr)  # symmetric by construction
@@ -169,10 +182,22 @@ def cut_matching(
     B, N = mask.shape
     if N <= DENSE_MATCH_MAX_N:
         nbr = g.nbr
-        bi = jnp.arange(B)[:, None, None]
-        qi = jnp.arange(N)[None, :, None]
-        U = jnp.zeros((B, N, N), bool).at[bi, qi, nbr.idx].max(nbr.mask)
-        deg = jnp.sum(nbr.mask, axis=-1).astype(h.dtype)
+        if g.rel is not None:
+            # Fused build: the extract kernel emitted its own threshold-
+            # relation rows (knn_und want_rel) — the EXACT adjacency
+            # decisions the extraction made, with no [B,N,K]->[B,N,N]
+            # scatter (XLA lowers that scatter at ~7 ns/row, ≈5 ms at
+            # B8/N2048/K32 — it was the step's second-largest stage).
+            # Rows past the cap see the UNCAPPED relation (documented
+            # divergence — identical in the hub-free regime, gated by
+            # bench's matching_equal check).
+            U = g.rel > 0
+            deg = jnp.sum(U, axis=-1).astype(h.dtype)
+        else:
+            bi = jnp.arange(B)[:, None, None]
+            qi = jnp.arange(N)[None, :, None]
+            U = jnp.zeros((B, N, N), bool).at[bi, qi, nbr.idx].max(nbr.mask)
+            deg = jnp.sum(nbr.mask, axis=-1).astype(h.dtype)
         ivd = 1.0 / jnp.maximum(deg, 1.0)
         dist = jnp.sqrt(_pairwise_d2(h))
         W = jnp.where(U, dist * (ivd[:, :, None] + ivd[:, None, :]),

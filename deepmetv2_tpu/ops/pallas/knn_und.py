@@ -107,19 +107,32 @@ def _kth_kernel(h_ref, sq_ref, mf_ref, q_ref, qsq_ref, t_ref, *, k, tile, n):
 
 
 def _extract_kernel(h_ref, sq_ref, mf_ref, t_ref, q_ref, qsq_ref, qt_ref,
-                    idx_ref, d2v_ref, *, cap, tile, n):
+                    *out_refs, cap, tile, n, want_rel):
+    if want_rel:
+        idx_ref, d2v_ref, rel_ref = out_refs
+    else:
+        idx_ref, d2v_ref = out_refs
     i = pl.program_id(1)
     d2, valid, sidx = _d2_tile(q_ref[0], qsq_ref[0, 0], h_ref[0],
                                sq_ref[0, 0], mf_ref[0, 0], i * tile, tile, n)
     qt = qt_ref[0, 0]                                          # [T]
     t_all = t_ref[0, 0]                                        # [N]
+    relmask = ((d2 <= qt[:, None]) | (d2 <= t_all[None, :])) & valid
+    if want_rel:
+        # the tile's relation row, emitted verbatim for the dense cut
+        # matching: the EXACT decisions this extraction acts on (an XLA
+        # recompute of d² is not bitwise identical; a [B,N,K]->[B,N,N]
+        # scatter of the list costs ~5 ms at B8/N2048 — this is one
+        # masked store).  Symmetric by construction: d²(i,j) is computed
+        # with the same operand order both ways (H-axis contraction),
+        # and the predicate ORs both thresholds.
+        rel_ref[0] = relmask.astype(jnp.float32)
     # remaining entries carried as a masked d² copy (f32: Mosaic
     # miscompiles i1 loop carries at these shapes); extraction is in
     # ascending-d² order so degree>cap rows keep their NEAREST cap
     # neighbors (the id-order the composed path emits is restored by an
     # id-sort in the wrapper)
-    d2m = jnp.where(((d2 <= qt[:, None]) | (d2 <= t_all[None, :])) & valid,
-                    d2, jnp.inf)
+    d2m = jnp.where(relmask, d2, jnp.inf)
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile, LANE), 1)
 
     def body(c, carry):
@@ -171,7 +184,7 @@ def supported(n: int, cap: int, tile: int = DEFAULT_TILE) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "cap", "tile", "interpret",
-                                              "sort_ids"))
+                                              "sort_ids", "want_rel"))
 def knn_und_graph(
     h: jnp.ndarray,      # [B, N, H] feature-space positions
     mask: jnp.ndarray,   # [B, N]
@@ -180,7 +193,8 @@ def knn_und_graph(
     tile: int = DEFAULT_TILE,
     interpret: bool = False,
     sort_ids: bool = False,
-) -> Tuple[Neighborhood, jnp.ndarray, jnp.ndarray]:
+    want_rel: bool = False,
+):
     """Fused equivalent of ``to_undirected(knn_graph(h, mask, k))``.
 
     Returns ``(nbr, d2v, t)``: the undirected neighbor list, the squared
@@ -217,8 +231,23 @@ def knn_und_graph(
         interpret=interpret,
     )(ht, sq, mf, h, sq)
 
-    idx128, d2v128 = pl.pallas_call(
-        functools.partial(_extract_kernel, cap=cap, tile=tile, n=N),
+    out_specs = [
+        pl.BlockSpec((1, tile, LANE), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, LANE), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, N, LANE), jnp.int32),
+        jax.ShapeDtypeStruct((B, N, LANE), jnp.float32),
+    ]
+    if want_rel:
+        out_specs.append(pl.BlockSpec((1, tile, N), lambda b, i: (b, i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, N, N), jnp.float32))
+    outs = pl.pallas_call(
+        functools.partial(_extract_kernel, cap=cap, tile=tile, n=N,
+                          want_rel=want_rel),
         grid=(B, N // tile),
         in_specs=(_event_specs(N, H, tile)
                   + [pl.BlockSpec((1, 1, N), lambda b, i: (b, 0, 0),
@@ -226,18 +255,12 @@ def knn_und_graph(
                   + _tile_specs(tile, H)
                   + [pl.BlockSpec((1, 1, tile), lambda b, i: (b, 0, i),
                                   memory_space=pltpu.VMEM)]),   # t (tile)
-        out_specs=(
-            pl.BlockSpec((1, tile, LANE), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, LANE), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, N, LANE), jnp.int32),
-            jax.ShapeDtypeStruct((B, N, LANE), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(ht, sq, mf, t3, h, sq, t3)
+    idx128, d2v128 = outs[0], outs[1]
+    rel = outs[2] if want_rel else None
 
     idx, d2v = idx128[..., :cap], d2v128[..., :cap]
     nmask = jnp.isfinite(d2v) & mask[..., None]
@@ -250,5 +273,8 @@ def knn_und_graph(
         idx = jnp.take_along_axis(idx, order, axis=-1)
         d2v = jnp.take_along_axis(d2v, order, axis=-1)
         nmask = jnp.take_along_axis(nmask, order, axis=-1)
-    return (Neighborhood(idx=jnp.where(nmask, idx, 0), mask=nmask),
-            jnp.where(nmask, d2v, jnp.inf), t3[:, 0, :])
+    nbr = Neighborhood(idx=jnp.where(nmask, idx, 0), mask=nmask)
+    d2v = jnp.where(nmask, d2v, jnp.inf)
+    if want_rel:
+        return nbr, d2v, t3[:, 0, :], rel
+    return nbr, d2v, t3[:, 0, :]

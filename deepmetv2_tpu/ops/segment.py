@@ -66,8 +66,32 @@ def gather_neighbors(values: jnp.ndarray, nbr: Neighborhood) -> jnp.ndarray:
 
     This is the TPU equivalent of PyG's edge-indexed ``x_j`` gather
     (the irregular read inside MessagePassing, reference
-    model/graph_met_network.py:38's EdgeConv)."""
-    return jax.vmap(lambda v, i: v[i])(values, nbr.idx)
+    model/graph_met_network.py:38's EdgeConv).
+
+    Formulation: single-axis ``take`` on the batch-collapsed [B·N, ...]
+    table — XLA lowers this 2.8x faster on TPU than the batched
+    per-event gather (measured 1.19 vs 3.33 ms fwd at B8/N2048/K32/H64
+    on v5e; the batched form keeps a batch dimension in the gather op
+    that TPU lowering serializes over).  Inside GSPMD-sharded traces the
+    batch axis may be partitioned, where collapsing it would force a
+    resharding — keep the per-event vmap form there (shard_map bodies
+    see local shapes, so they take the fast path)."""
+    return _batched_take(values, nbr.idx)
+
+
+def _batched_take(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``out[b, ...] = values[b, idx[b, ...]]`` via a single-axis take on
+    the batch-collapsed table (see gather_neighbors docstring for why)."""
+    from deepmetv2_tpu.parallel import context as pctx
+
+    if pctx.xla_window_forced():
+        return jax.vmap(lambda v, i: v[i])(values, idx)
+    B, N = values.shape[:2]
+    flat = values.reshape((B * N,) + values.shape[2:])
+    off = jnp.arange(B, dtype=idx.dtype).reshape(
+        (B,) + (1,) * (idx.ndim - 1)) * N
+    return jnp.take(flat, (idx + off).reshape(-1), axis=0).reshape(
+        idx.shape + values.shape[2:])
 
 
 def neighbor_reduce(
@@ -126,8 +150,7 @@ def mirror_slots(nbr: Neighborhood):
 
 @jax.custom_vjp
 def _gather_mirror(values, idx, mask, mirror):
-    g = jax.vmap(lambda v, i: v[i])(values, idx)
-    return jnp.where(mask[..., None], g, 0)
+    return jnp.where(mask[..., None], _batched_take(values, idx), 0)
 
 
 def _gather_mirror_fwd(values, idx, mask, mirror):
@@ -142,7 +165,7 @@ def _gather_mirror_bwd(res, ct):
     B, N, K = idx.shape
     flat = ct.reshape(B, N * K, ct.shape[-1])
     fidx = (idx * K + mirror).reshape(B, N * K)
-    picked = jax.vmap(lambda v, i: v[i])(flat, fidx).reshape(ct.shape)
+    picked = _batched_take(flat, fidx).reshape(ct.shape)
     dc = jnp.sum(jnp.where(mask[..., None], picked, 0), axis=2)
     zero = lambda a: np.zeros(a.shape, dtype=float0)
     return dc, zero(idx), zero(mask), zero(mirror)
