@@ -92,6 +92,16 @@ class DRNConfig:
     # O(B·N·D) (the gathered block) to O(B·n_loc·(D+k)) — the knob for
     # events larger than one chip's memory.  Ignored off-mesh.
     ring_knn: bool = False
+    # Between reduction rounds, COMPACT the pooled node set: after
+    # cluster-max pooling only ~55-60% of slots hold representatives, yet
+    # the next round's graph build is O(N²) in the PADDED size.  Gather
+    # survivors (ascending index — order-preserving, so index tie-breaks
+    # are unchanged) into the front 3N/4 slots and shrink every round-2
+    # tensor.  Exact up to float re-association whenever representatives
+    # fit (matching leaves ≥50% only if under half the nodes pair — with
+    # 4 handshake rounds that does not happen in practice); overflow
+    # drops the highest-index representatives (deterministic, documented).
+    compact_pool: bool = True
     # Multiplier from network output units to GeV.  MET is O(10²) GeV while
     # the head sees O(1) activations and AdamW moves weights ~lr per step —
     # without this scale the head needs O(scale/lr) steps just to reach the

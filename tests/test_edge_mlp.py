@@ -108,3 +108,26 @@ def test_drn_apply_fused_conv_matches():
     for a, b in zip(st_f["convs"], st_x["convs"]):
         np.testing.assert_allclose(a.mean, b.mean, rtol=1e-3, atol=1e-5)
         np.testing.assert_allclose(a.var, b.var, rtol=1e-3, atol=1e-5)
+
+
+def test_compact_pool_matches_uncompacted():
+    """Inter-round node compaction (DRNConfig.compact_pool) is exact up
+    to float re-association: same graphs/matchings on relabeled indices."""
+    from deepmetv2_tpu.config import DRNConfig
+    from deepmetv2_tpu.models.drn import drn_apply, drn_init
+
+    rng = np.random.default_rng(11)
+    B, N = 2, 256
+    x = jnp.asarray(rng.normal(size=(B, N, 4)).astype(np.float32))
+    mask = jnp.asarray(rng.random((B, N)) < 0.9)
+    base = dict(input_dim=4, hidden_dim=16, k=4, pool_rounds=2)
+    params, state = drn_init(jax.random.PRNGKey(1),
+                             DRNConfig(**base))
+    outs = {}
+    for compact in (False, True):
+        cfg = DRNConfig(**base, compact_pool=compact)
+        outs[compact], _ = drn_apply(params, state, x, mask, True, cfg,
+                                     graph_force="composed",
+                                     conv_force="xla")
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-4,
+                               atol=1e-5)
