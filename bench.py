@@ -81,7 +81,13 @@ K_SLOW = (2, 6)    # slow ops (the reference-design baseline, ~80 ms/iter)
 # DMA-amortizing supertiles).
 SWEEP_SHAPES = [(8, 512, 32), (8, 2048, 32), (8, 8192, 32),
                 (8, 512, 64), (8, 2048, 64), (8, 8192, 64)]
-CANDIDATES = [(512, 16, 16), (128, 16, 16), (256, 32, 32), (32, 32, 32)]
+# (tile, subtile, wchunk, isplit); isplit = independent sub-slab streams
+# per chunk (ILP experiment, VERDICT r3 #3): splitting the dependent
+# compare-select-reduce chain helps long windows (8192x32: 6.13 -> 5.03 ms
+# at isplit 4) and hurts short ones (2048x32: 0.52 -> 0.99 at isplit 4) —
+# both kept as candidates so each shape picks its winner.
+CANDIDATES = [(512, 16, 16, 1), (1024, 16, 16, 1), (128, 16, 16, 1),
+              (256, 32, 32, 1), (256, 32, 32, 4), (32, 32, 32, 1)]
 K_SWEEP = (5, 45)
 
 # v5e HBM peak bandwidth — denominator for the DMA-side speed-of-light
@@ -402,10 +408,11 @@ def _sweep(on_tpu: bool) -> list:
             # per fresh TPU compile, the full slope treatment for every
             # grid point put bench past the driver's budget (r3).
             def chain_of(cand, k):
-                tile, sub, wc = cand
+                tile, sub, wc, isp = cand
                 body = _grad_chain(
-                    lambda x, w, t=tile, s=sub, w_=wc:
-                    kernel_fn(x, g, w, bias, tile=t, wchunk=w_, subtile=s))
+                    lambda x, w, t=tile, s=sub, w_=wc, i=isp:
+                    kernel_fn(x, g, w, bias, tile=t, wchunk=w_, subtile=s,
+                              isplit=i))
                 f = jax.jit(
                     lambda c: jax.lax.scan(body, c, None, length=k)[0])
                 _fetch(f((x, w)))            # compile + warm
@@ -423,20 +430,26 @@ def _sweep(on_tpu: bool) -> list:
             k_sel = min(4096, max(16, _pow2_at_least(int(0.5 / pilot))))
             ranked = []
             for cand in CANDIDATES:
-                f = chain_of(cand, k_sel)
+                try:
+                    f = chain_of(cand, k_sel)
+                except Exception:
+                    # e.g. VMEM overflow of a large-tile config at a big
+                    # shape — a failed candidate is just not a winner
+                    continue
                 t = min(_timed_fetch(f, (x, w)) for _ in range(3))
                 ranked.append((t, cand))
             ranked.sort(key=lambda r: r[0])
-            (tile, subtile, wchunk) = ranked[0][1]
+            (tile, subtile, wchunk, isplit) = ranked[0][1]
             body = _grad_chain(
-                lambda x, w, t=tile, s=subtile, wc=wchunk:
-                kernel_fn(x, g, w, bias, tile=t, wchunk=wc, subtile=s))
+                lambda x, w, t=tile, s=subtile, wc=wchunk, i=isplit:
+                kernel_fn(x, g, w, bias, tile=t, wchunk=wc, subtile=s,
+                          isplit=i))
             t = _slope_time(body, (x, w), ks=(k_sel, 4 * k_sel), reps=4,
                             label=f"sweep {n}x{h} t{tile}s{subtile}"
                                   f"w{wchunk}")
             gbytes = _kernel_bytes(b, n, h, halo, tile, wchunk)
             best = {"tile": tile, "subtile": subtile,
-                    "wchunk": wchunk, "ms": t * 1e3,
+                    "wchunk": wchunk, "isplit": isplit, "ms": t * 1e3,
                     "model_GB": gbytes / 1e9,
                     "model_GBps": gbytes / t / 1e9,
                     "sol_fraction_dma_model":

@@ -65,6 +65,7 @@ LANE = 128
 WCHUNK = 16  # default window sublane chunk swept per loop iteration
 DEFAULT_TILE = 512    # supertile: query rows sharing one window DMA
 DEFAULT_SUBTILE = 16  # prune granularity inside the supertile
+DEFAULT_ISPLIT = 1    # independent sub-slab streams per chunk (ILP knob)
 # (bench.py sweeps (tile, subtile, wchunk) across shapes and records the
 # winners; the interval runs are per SUBTILE, so pruning stays as tight
 # as the old tile=16 kernel while the DMA amortizes over the supertile.
@@ -80,7 +81,7 @@ N_INTERVALS = 4  # needed-chunk runs per tile (cell order: <= 3 phi windows
 
 def _fwd_kernel(c_hbm, eta_hbm, phi_hbm, qe_ref, qp_ref, lo_ref, hi_ref,
                 out_ref, cwin, ewin, pwin, sems, *, tile, w_win, r2,
-                wchunk, subtile):
+                wchunk, subtile, isplit=1):
     b = pl.program_id(0)
     i = pl.program_id(1)
     s = i * tile  # window start in the halo-padded source arrays
@@ -112,13 +113,25 @@ def _fwd_kernel(c_hbm, eta_hbm, phi_hbm, qe_ref, qp_ref, lo_ref, hi_ref,
         g = (i * n_sub + sub) * N_INTERVALS
 
         def chunk(k, acc, qe_s=qe_s, qp_s=qp_s):
-            sl = pl.ds(k * wchunk, wchunk)
-            cw = cwin[sl, :]                                 # [Wc, F]
-            de = qe_s[:, None, :] - ewin[sl, :][None, :, :]  # [S, Wc, F]
-            dp = qp_s[:, None, :] - pwin[sl, :][None, :, :]
-            d2 = de * de + dp * dp
-            masked = jnp.where(d2 < r2, cw[None, :, :], NEG_INF)
-            return jnp.maximum(acc, jnp.max(masked, axis=1))
+            # isplit > 1: the chunk's sublane slab is processed as
+            # independent sub-slabs with separate partial maxima,
+            # breaking the dependent compare-select-reduce chain so the
+            # VPU can overlap the streams (VERDICT r3 #3 experiment).
+            w2 = wchunk // isplit
+            parts = []
+            for p_ in range(isplit):
+                sl = pl.ds(k * wchunk + p_ * w2, w2)
+                cw = cwin[sl, :]                                 # [Wc, F]
+                de = qe_s[:, None, :] - ewin[sl, :][None, :, :]  # [S,Wc,F]
+                dp = qp_s[:, None, :] - pwin[sl, :][None, :, :]
+                d2 = de * de + dp * dp
+                parts.append(
+                    jnp.max(jnp.where(d2 < r2, cw[None, :, :], NEG_INF),
+                            axis=1))
+            m = parts[0]
+            for q_ in parts[1:]:
+                m = jnp.maximum(m, q_)
+            return jnp.maximum(acc, m)
 
         acc = jnp.full((subtile, F), NEG_INF, cwin.dtype)
         for j in range(N_INTERVALS):
@@ -129,7 +142,7 @@ def _fwd_kernel(c_hbm, eta_hbm, phi_hbm, qe_ref, qp_ref, lo_ref, hi_ref,
 
 def _bwd_kernel(eta_hbm, phi_hbm, m_hbm, g_hbm, ct_ref, qe_ref, qp_ref,
                 lo_ref, hi_ref, dc_ref, mwin, gwin, ewin, pwin, sems, *,
-                tile, w_win, r2, wchunk, subtile):
+                tile, w_win, r2, wchunk, subtile, isplit=1):
     """dc[s,h] = Σ_q [adj(q,s) ∧ c[s,h] == m[q,h]] · g[q,h].
 
     Source-tile centric: the queries whose windows include source s lie in
@@ -164,14 +177,22 @@ def _bwd_kernel(eta_hbm, phi_hbm, m_hbm, g_hbm, ct_ref, qe_ref, qp_ref,
         g = (i * n_sub + sub) * N_INTERVALS
 
         def chunk(k, acc, ct_s=ct_s, qe_s=qe_s, qp_s=qp_s):
-            sl = pl.ds(k * wchunk, wchunk)
-            mw = mwin[sl, :]                                 # [Wc, F] query max
-            gw = gwin[sl, :]                                 # [Wc, F] query grad
-            de = qe_s[:, None, :] - ewin[sl, :][None, :, :]  # [S, Wc, F]
-            dp = qp_s[:, None, :] - pwin[sl, :][None, :, :]
-            d2 = de * de + dp * dp
-            hit = (d2 < r2) & (ct_s[:, None, :] == mw[None, :, :])
-            return acc + jnp.sum(jnp.where(hit, gw[None, :, :], 0.0), axis=1)
+            w2 = wchunk // isplit
+            parts = []
+            for p_ in range(isplit):
+                sl = pl.ds(k * wchunk + p_ * w2, w2)
+                mw = mwin[sl, :]                                 # [Wc, F]
+                gw = gwin[sl, :]                                 # [Wc, F]
+                de = qe_s[:, None, :] - ewin[sl, :][None, :, :]  # [S,Wc,F]
+                dp = qp_s[:, None, :] - pwin[sl, :][None, :, :]
+                d2 = de * de + dp * dp
+                hit = (d2 < r2) & (ct_s[:, None, :] == mw[None, :, :])
+                parts.append(
+                    jnp.sum(jnp.where(hit, gw[None, :, :], 0.0), axis=1))
+            m = parts[0]
+            for q_ in parts[1:]:
+                m = m + q_
+            return acc + m
 
         acc = jnp.zeros((subtile, ct.shape[1]), ct.dtype)
         for j in range(N_INTERVALS):
@@ -319,10 +340,10 @@ def _prepare(c, pos, halo_pad, extra, pack, m_fill=0.0):
     return halo(cpk, m_fill), halo(eta, PAD_POS), halo(phi, PAD_POS), eta, phi
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def window_max(c, pos, r2: float, halo: int, tile: int = DEFAULT_TILE,
                interpret: bool = False, wchunk: int = WCHUNK,
-               subtile: int = DEFAULT_SUBTILE):
+               subtile: int = DEFAULT_SUBTILE, isplit: int = 1):
     """``m[b,i,:] = max over w with ‖pos_i − pos_w‖² < r2 of c[b,w,:]``
     (window-limited to ±halo in the sorted order); -inf where no neighbor.
 
@@ -331,7 +352,7 @@ def window_max(c, pos, r2: float, halo: int, tile: int = DEFAULT_TILE,
     the interval-prune granularity within it.
     """
     return _window_max_impl(c, pos, r2, halo, tile, interpret, wchunk,
-                            subtile)
+                            subtile, isplit)
 
 
 def _bounds_or_static(pos, halo_pad, extra, w_win, subtile, r2, pack, Bp,
@@ -369,7 +390,7 @@ def _pick_tiles(tile: int, subtile: int, wchunk: int, N: int,
 
 
 def _window_max_impl(c, pos, r2, halo, tile, interpret, wchunk=WCHUNK,
-                     subtile: int = DEFAULT_SUBTILE):
+                     subtile: int = DEFAULT_SUBTILE, isplit: int = 1):
     B, N, H = c.shape
     halo_pad = -(-halo // 64) * 64
     tile, subtile, dynamic = _pick_tiles(tile, subtile, wchunk, N, halo_pad)
@@ -380,8 +401,10 @@ def _window_max_impl(c, pos, r2, halo, tile, interpret, wchunk=WCHUNK,
     lo, hi = _bounds_or_static(pos, halo_pad, extra, w_win, subtile, r2,
                                pack, Bp, N // subtile, wchunk, dynamic)
 
+    if wchunk % isplit != 0:
+        isplit = 1
     kernel = functools.partial(_fwd_kernel, tile=tile, w_win=w_win, r2=r2,
-                               wchunk=wchunk, subtile=subtile)
+                               wchunk=wchunk, subtile=subtile, isplit=isplit)
     m = pl.pallas_call(
         kernel,
         grid=(Bp, N // tile),
@@ -410,12 +433,15 @@ def _window_max_impl(c, pos, r2, halo, tile, interpret, wchunk=WCHUNK,
     return _unpack_features(m, pack, B, H)
 
 
-def _window_max_fwd(c, pos, r2, halo, tile, interpret, wchunk, subtile):
-    m = _window_max_impl(c, pos, r2, halo, tile, interpret, wchunk, subtile)
+def _window_max_fwd(c, pos, r2, halo, tile, interpret, wchunk, subtile,
+                    isplit):
+    m = _window_max_impl(c, pos, r2, halo, tile, interpret, wchunk, subtile,
+                        isplit)
     return m, (c, pos, m)
 
 
-def _window_max_bwd(r2, halo, tile, interpret, wchunk, subtile, res, g):
+def _window_max_bwd(r2, halo, tile, interpret, wchunk, subtile, isplit,
+                    res, g):
     c, pos, m = res
     B, N, H = c.shape
     halo_pad = -(-halo // 64) * 64
@@ -439,8 +465,10 @@ def _window_max_bwd(r2, halo, tile, interpret, wchunk, subtile, res, g):
     lo, hi = _bounds_or_static(pos, halo_pad, extra, w_win, subtile, r2,
                                pack, Bp, N // subtile, wchunk, dynamic)
 
+    if wchunk % isplit != 0:
+        isplit = 1
     kernel = functools.partial(_bwd_kernel, tile=tile_, w_win=w_win, r2=r2,
-                               wchunk=wchunk, subtile=subtile)
+                               wchunk=wchunk, subtile=subtile, isplit=isplit)
     dc = pl.pallas_call(
         kernel,
         grid=(Bp, N // tile_),
@@ -485,6 +513,7 @@ def window_edgeconv_linear_pallas(
     interpret: bool = False,
     wchunk: int = WCHUNK,
     subtile: int = DEFAULT_SUBTILE,
+    isplit: int = DEFAULT_ISPLIT,
 ) -> jnp.ndarray:
     """Drop-in equivalent of ops/window.window_edgeconv_linear('max') with
     the aggregation running as a Pallas kernel.  The GEMMs stay in XLA
@@ -498,7 +527,7 @@ def window_edgeconv_linear_pallas(
         a = a + bias
     pos = jnp.where(g.mask[..., None], g.etaphi, PAD_POS)
     m = window_max(c, pos, float(g.r) ** 2, g.halo, tile, interpret, wchunk,
-                   subtile)
+                   subtile, isplit)
     # Padded nodes all sit at the same PAD_POS sentinel, so they are
     # adjacent to each OTHER (distance 0): their m is a real number, not
     # -inf.  Mask them explicitly — the op's contract (like ops/window.py)

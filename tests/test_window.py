@@ -403,3 +403,41 @@ class TestCellOrder:
         n_eta = needed_count(eta_b, eta_halo)
         n_cell = needed_count(cell_b, cell_halo)
         assert n_cell < 0.85 * n_eta, (n_cell, n_eta)
+
+
+def test_isplit_matches_baseline():
+    """isplit (independent sub-slab streams per chunk) is a pure
+    scheduling knob: identical results for any divisor of wchunk."""
+    import jax
+    from deepmetv2_tpu.ops.pallas.edgeconv_window import (
+        window_edgeconv_linear_pallas,
+    )
+
+    rng = np.random.default_rng(9)
+    batch, etaphi = _setup(seed=9, n_events=2, n_min=80, n_max=127, cap=128)
+    H = 8
+    x = jnp.asarray(
+        rng.normal(size=(batch.batch_size, batch.max_nodes, H))
+        .astype(np.float32))
+    x = jnp.where(batch.mask[..., None], x, 0.0)
+    w = jnp.asarray(rng.normal(size=(2 * H, H)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(H,)).astype(np.float32))
+    halo = required_halo(batch, 0.4)
+    g = WindowGraph(etaphi, batch.mask, r=0.4, halo=halo)
+    mask3 = batch.mask[..., None]
+
+    def run(isp):
+        def loss(x):
+            out = window_edgeconv_linear_pallas(
+                x, g, w, b, tile=128, wchunk=16, subtile=16,
+                interpret=True, isplit=isp)
+            return jnp.sum(jnp.where(mask3, out, 0.0) ** 2)
+        return loss(x), jax.grad(loss)(x)
+
+    v1, g1 = run(1)
+    for isp in (2, 4):
+        v2, g2 = run(isp)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   rtol=1e-5, atol=1e-6)
