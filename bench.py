@@ -381,6 +381,26 @@ def _numerics_gate(interpret: bool) -> dict:
         passed = all(e < 1e-4 for e in errs.values())
         ok &= passed
         checks.append({**s, "halo": halo, "rel_err": errs, "ok": passed})
+
+        if s["name"] == "cell_order":
+            # opt-in bf16 window path (ModelConfig.compute_dtype):
+            # accuracy delta vs the f32 XLA reference.  One bf16 rounding
+            # of the aggregated c term — gate at 2e-2 scale-relative.
+            # (Throughput: measured NET-NEGATIVE to neutral on v5e —
+            # numbers in ops/pallas/edgeconv_window._pack_factor and
+            # docs/ARCHITECTURE.md §6; the knob remains for its halved
+            # window DMA/VMEM.)
+            _progress("numerics gate: bf16 window")
+            vb = window_edgeconv_linear_pallas(
+                x, g, w, bias, interpret=interpret, dtype=jnp.bfloat16)
+            with jax.default_matmul_precision("highest"):
+                vref = window_edgeconv_linear(x, g, w, bias)
+            rel = err(vb, vref)
+            bf_ok = rel < 2e-2
+            ok &= bf_ok
+            checks.append({"name": "bf16_window", "B": s["B"], "N": s["N"],
+                           "H": s["H"], "rel_err": {"fwd": rel},
+                           "ok": bf_ok})
     return {"ok": ok, "interpret": interpret, "checks": checks}
 
 

@@ -48,6 +48,18 @@ class ModelConfig:
     output_dim: int = 1
     # |pdgId| vocabulary (reference model/graph_met_network.py:45)
     pdgs: Tuple[int, ...] = (1, 2, 11, 13, 22, 130, 211)
+    # Opt-in mixed precision for the EdgeConv hot path: 'bfloat16' runs
+    # the conv GEMMs as MXU-bf16 with f32 accumulation and the window
+    # aggregation kernel on bf16 VALUES (halved window DMA/VMEM).
+    # Positions/adjacency stay f32 — the distance-tie analysis
+    # (ops/graph.py) stands.  MEASURED on v5e: throughput-neutral (the
+    # kernel is VPU-bound on the f32 coordinate math; the 256-lane bf16
+    # packing variant was 30-45% SLOWER and is not used — numbers in
+    # ops/pallas/edgeconv_window._pack_factor); the win is memory, not
+    # speed.  Accuracy delta gated by bench's numerics entry
+    # (one bf16 rounding of the aggregated term, < 2e-2 scale-relative)
+    # and tests/test_window.py::test_bf16_window_close_to_f32.
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

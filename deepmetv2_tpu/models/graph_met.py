@@ -119,7 +119,9 @@ def graph_met_apply(
 
     conv_states: List[BatchNormState] = []
     for d, conv in enumerate(params["convs"]):
-        h = edgeconv(emb, nbr, conv["edge"]["w"], conv["edge"]["b"], "max")
+        h = edgeconv(emb, nbr, conv["edge"]["w"], conv["edge"]["b"], "max",
+                     dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                            else None))
         h, bn_s = batchnorm_apply(conv["bn"], state["convs"][d], h,
                                   batch.mask, train)
         conv_states.append(bn_s)

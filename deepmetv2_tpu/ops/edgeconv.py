@@ -69,6 +69,7 @@ def edgeconv(
     weight: jnp.ndarray,
     bias: jnp.ndarray | None,
     reduction: Reduction = "max",
+    dtype=None,
 ) -> jnp.ndarray:
     """Linear-MLP EdgeConv over either graph representation.
 
@@ -96,7 +97,8 @@ def edgeconv(
                 window_edgeconv_linear_pallas,
             )
 
-            return window_edgeconv_linear_pallas(x, graph, weight, bias)
+            return window_edgeconv_linear_pallas(x, graph, weight, bias,
+                                                 dtype=dtype)
         return window_edgeconv_linear(x, graph, weight, bias, reduction)
     return edgeconv_linear(x, graph, weight, bias, reduction)
 

@@ -179,14 +179,18 @@ def _bwd_kernel(eta_hbm, phi_hbm, m_hbm, g_hbm, ct_ref, qe_ref, qp_ref,
         def chunk(k, acc, ct_s=ct_s, qe_s=qe_s, qp_s=qp_s):
             w2 = wchunk // isplit
             parts = []
+            # the argmax-tie equality runs in f32: Mosaic v5e has no bf16
+            # vector compare ("Target does not support this comparison"),
+            # and bf16->f32 is injective so equality is preserved exactly
+            ct_c = ct_s.astype(jnp.float32)
             for p_ in range(isplit):
                 sl = pl.ds(k * wchunk + p_ * w2, w2)
-                mw = mwin[sl, :]                                 # [Wc, F]
-                gw = gwin[sl, :]                                 # [Wc, F]
+                mw = mwin[sl, :].astype(jnp.float32)             # [Wc, F]
+                gw = gwin[sl, :].astype(jnp.float32)             # [Wc, F]
                 de = qe_s[:, None, :] - ewin[sl, :][None, :, :]  # [S,Wc,F]
                 dp = qp_s[:, None, :] - pwin[sl, :][None, :, :]
                 d2 = de * de + dp * dp
-                hit = (d2 < r2) & (ct_s[:, None, :] == mw[None, :, :])
+                hit = (d2 < r2) & (ct_c[:, None, :] == mw[None, :, :])
                 parts.append(
                     jnp.sum(jnp.where(hit, gw[None, :, :], 0.0), axis=1))
             m = parts[0]
@@ -194,17 +198,28 @@ def _bwd_kernel(eta_hbm, phi_hbm, m_hbm, g_hbm, ct_ref, qe_ref, qp_ref,
                 m = m + q_
             return acc + m
 
-        acc = jnp.zeros((subtile, ct.shape[1]), ct.dtype)
+        acc = jnp.zeros((subtile, ct.shape[1]), jnp.float32)
         for j in range(N_INTERVALS):
             acc = jax.lax.fori_loop(lo_ref[b, g + j] + q_off,
                                     hi_ref[b, g + j] + q_off, chunk, acc)
-        dc_ref[0, rows, :] = acc
+        dc_ref[0, rows, :] = acc.astype(dc_ref.dtype)
 
 
 # ------------------------------------------------------------ packing
 
 
-def _pack_factor(H: int) -> int:
+def _pack_factor(H: int, dtype=jnp.float32) -> int:
+    """Events per lane group — 128 lanes regardless of dtype.
+
+    The obvious bf16 move (256 elements per (8,128) vreg -> pack 256//H
+    events) was MEASURED NET-NEGATIVE on v5e: the coordinate planes and
+    the adjacency compare stay f32 (tie analysis) and dominate the op
+    count, so doubling the lane width doubles their vreg footprint while
+    the bf16 value ops see no 2x issue rate; with the relayouts the
+    kernel ran 30-45% slower (2048x32: 0.51->0.67 ms, 8192x32:
+    5.06->7.36).  Same-width bf16 packing is neutral (0.52 / 5.23 ms) —
+    kept for the halved window DMA/VMEM at memory-bound shapes."""
+    del dtype
     return LANE // H if H <= LANE and LANE % H == 0 else 1
 
 
@@ -233,9 +248,9 @@ def _pack_coords(coord: jnp.ndarray, pack: int, H: int):
     return _pack_features(rep, pack, fill=PAD_POS)
 
 
-def _lane_pad(arr, value=0.0):
+def _lane_pad(arr, value=0.0, lanes=LANE):
     H = arr.shape[-1]
-    F = -(-H // LANE) * LANE
+    F = -(-H // lanes) * lanes
     if F == H:
         return arr
     return jnp.pad(arr, ((0, 0), (0, 0), (0, F - H)), constant_values=value)
@@ -395,7 +410,7 @@ def _window_max_impl(c, pos, r2, halo, tile, interpret, wchunk=WCHUNK,
     halo_pad = -(-halo // 64) * 64
     tile, subtile, dynamic = _pick_tiles(tile, subtile, wchunk, N, halo_pad)
     halo_pad, w_win, extra = _grid_params(N, halo, tile, wchunk)
-    pack = _pack_factor(H)
+    pack = _pack_factor(H, c.dtype)
     cpad, eta_pad, phi_pad, qe, qp = _prepare(c, pos, halo_pad, extra, pack)
     Bp, _, F = qe.shape
     lo, hi = _bounds_or_static(pos, halo_pad, extra, w_win, subtile, r2,
@@ -447,7 +462,7 @@ def _window_max_bwd(r2, halo, tile, interpret, wchunk, subtile, isplit,
     halo_pad = -(-halo // 64) * 64
     tile_, subtile, dynamic = _pick_tiles(tile, subtile, wchunk, N, halo_pad)
     halo_pad, w_win, extra = _grid_params(N, halo, tile_, wchunk)
-    pack = _pack_factor(H)
+    pack = _pack_factor(H, c.dtype)
     # m of padded/empty rows is -inf; grads there are irrelevant but must
     # not poison the equality check -> replace by +inf (never equals a real
     # c) and zero the incoming grad.  All pads use the same sentinels.
@@ -514,20 +529,40 @@ def window_edgeconv_linear_pallas(
     wchunk: int = WCHUNK,
     subtile: int = DEFAULT_SUBTILE,
     isplit: int = DEFAULT_ISPLIT,
+    dtype=None,
 ) -> jnp.ndarray:
     """Drop-in equivalent of ops/window.window_edgeconv_linear('max') with
     the aggregation running as a Pallas kernel.  The GEMMs stay in XLA
-    (MXU-friendly as-is); only the irregular part is hand-scheduled."""
+    (MXU-friendly as-is); only the irregular part is hand-scheduled.
+
+    ``dtype=jnp.bfloat16`` (opt-in, ModelConfig.compute_dtype): the GEMMs
+    run MXU-bf16 with f32 accumulation and the aggregation kernel carries
+    bf16 VALUES (halved window DMA, 256//H events per vreg) while the
+    coordinate planes and adjacency compare stay f32.  Aggregation max
+    over bf16 is exact selection (returns an input bitwise), so the only
+    precision loss is the single rounding of c into bf16; the backward's
+    tie detection (c == m) is likewise exact.  Output returns as f32."""
     H = x.shape[-1]
     w_self, w_diff = weight[:H], weight[H:]
-    c = jnp.einsum("bnh,hf->bnf", x, w_diff, preferred_element_type=jnp.float32)
-    a = jnp.einsum("bnh,hf->bnf", x, w_self - w_diff,
-                   preferred_element_type=jnp.float32)
+    if dtype is not None and dtype != jnp.float32:
+        xe, wd, ws = x.astype(dtype), w_diff.astype(dtype),             (w_self - w_diff).astype(dtype)
+        c = jnp.einsum("bnh,hf->bnf", xe, wd,
+                       preferred_element_type=jnp.float32)
+        a = jnp.einsum("bnh,hf->bnf", xe, ws,
+                       preferred_element_type=jnp.float32)
+    else:
+        c = jnp.einsum("bnh,hf->bnf", x, w_diff,
+                       preferred_element_type=jnp.float32)
+        a = jnp.einsum("bnh,hf->bnf", x, w_self - w_diff,
+                       preferred_element_type=jnp.float32)
     if bias is not None:
         a = a + bias
+    if dtype is not None and dtype != jnp.float32:
+        c = c.astype(dtype)
     pos = jnp.where(g.mask[..., None], g.etaphi, PAD_POS)
     m = window_max(c, pos, float(g.r) ** 2, g.halo, tile, interpret, wchunk,
                    subtile, isplit)
+    m = m.astype(jnp.float32)
     # Padded nodes all sit at the same PAD_POS sentinel, so they are
     # adjacent to each OTHER (distance 0): their m is a real number, not
     # -inf.  Mask them explicitly — the op's contract (like ops/window.py)

@@ -441,3 +441,48 @@ def test_isplit_matches_baseline():
                                    rtol=1e-6)
         np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_window_close_to_f32():
+    """Opt-in bf16 window path (ModelConfig.compute_dtype): values within
+    bf16 rounding of the f32 path, exact aggregation selection."""
+    import jax
+    from deepmetv2_tpu.ops.pallas.edgeconv_window import (
+        window_edgeconv_linear_pallas,
+    )
+
+    rng = np.random.default_rng(13)
+    batch, etaphi = _setup(seed=13, n_events=2, n_min=80, n_max=127, cap=128)
+    H = 8
+    x = jnp.asarray(
+        rng.normal(size=(batch.batch_size, batch.max_nodes, H))
+        .astype(np.float32))
+    x = jnp.where(batch.mask[..., None], x, 0.0)
+    w = jnp.asarray(rng.normal(size=(2 * H, H)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(H,)).astype(np.float32))
+    halo = required_halo(batch, 0.4)
+    g = WindowGraph(etaphi, batch.mask, r=0.4, halo=halo)
+    mask3 = np.asarray(batch.mask)
+
+    f32 = window_edgeconv_linear_pallas(x, g, w, b, tile=128, interpret=True)
+    bf = window_edgeconv_linear_pallas(x, g, w, b, tile=128, interpret=True,
+                                       dtype=jnp.bfloat16)
+    assert bf.dtype == jnp.float32
+    # error model: one bf16 rounding of the aggregated c term (relative
+    # to the TERM's magnitude, not the output's — a + m can cancel)
+    scale = float(np.max(np.abs(np.asarray(f32)[mask3])))
+    np.testing.assert_allclose(np.asarray(bf)[mask3], np.asarray(f32)[mask3],
+                               rtol=3e-2, atol=2e-2 * scale)
+
+    def loss(fn):
+        return lambda xx: jnp.sum(
+            jnp.where(batch.mask[..., None], fn(xx), 0.0) ** 2)
+
+    g32 = jax.grad(loss(lambda xx: window_edgeconv_linear_pallas(
+        xx, g, w, b, tile=128, interpret=True)))(x)
+    gbf = jax.grad(loss(lambda xx: window_edgeconv_linear_pallas(
+        xx, g, w, b, tile=128, interpret=True, dtype=jnp.bfloat16)))(x)
+    # grads route through argmax selections that can flip at bf16-tied
+    # values; compare coarsely
+    denom = np.maximum(np.abs(np.asarray(g32)), 1.0)
+    assert np.median(np.abs(np.asarray(gbf) - np.asarray(g32)) / denom) < 0.05
