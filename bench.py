@@ -604,6 +604,51 @@ def _drn_section(on_tpu: bool) -> dict:
     out["edgeconv_mlp_fwd_bwd_ms"] = _slope_time(
         conv_body, (h, mlp_p), ks=(3, 12), reps=4, label="drn conv") * 1e3
 
+    # --- fused Pallas edge-MLP conv (ops/pallas/edge_mlp.py) fwd+bwd on
+    # the same graph: the production DRN conv (factored first layer, BN
+    # commuted through the aggregation)
+    from deepmetv2_tpu.models.drn import _drn_edgeconv
+    from deepmetv2_tpu.nn.core import batchnorm_init
+
+    bn_p, bn_s = batchnorm_init(H)
+    convp = {"mlp": mlp_p, "bn": bn_p}
+
+    def fconv_body(carry, _):
+        x, p = carry
+        _, (dx, dp) = jax.value_and_grad(
+            lambda x, p: jnp.sum(_drn_edgeconv(
+                p, bn_s, x, g0.nbr, "add", True,
+                conv_force="fused" if on_tpu else "xla")[0] ** 2),
+            argnums=(0, 1))(x, p)
+        fold = lambda a, g_: a + 1e-12 * g_
+        return (fold(x, dx), jax.tree_util.tree_map(fold, p, dp)), None
+
+    out["edgeconv_fused_fwd_bwd_ms"] = _slope_time(
+        fconv_body, (h, convp), ks=(3, 12), reps=4,
+        label="drn conv fused") * 1e3
+
+    if on_tpu and g0.rel is not None:
+        # tiled-matching precondition: the XLA HIGHEST einsum reproduces
+        # the extract kernel's threshold decisions bitwise on the MXU
+        # (the N>4096 dense matching recomputes the relation per tile)
+        @jax.jit
+        def _tiled_diff(h0, t, rel):
+            iota = jnp.arange(N)
+            sq0 = jnp.sum(h0 * h0, -1)
+            dot = jnp.einsum("bnh,bch->bnc", h0, h0,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+            d2 = jnp.maximum(sq0[:, :, None] + sq0[:, None, :] - 2 * dot, 0)
+            v = (mask[:, :, None] & mask[:, None, :]
+                 & (iota[:, None] != iota[None, :]))
+            U = ((d2 <= t[:, :, None]) | (d2 <= t[:, None, :])) & v
+            return jnp.sum(U != ((rel > 0) & v))
+
+        diff = int(_tiled_diff(g0.h0, g0.t, g0.rel))
+        out["numerics"]["tiled_rel_bitwise"] = diff == 0
+        out["numerics"]["ok"] = all(
+            v for v in out["numerics"].values() if isinstance(v, bool))
+
     # --- full train step, fused vs composed graph strategy
     events = synthetic_events(B, seed=6, n_min=N - 256, n_max=N - 1)
     batch = jax.device_put(collate(events, buckets=(N,)))
@@ -623,6 +668,33 @@ def _drn_section(on_tpu: bool) -> dict:
     if on_tpu:
         out["step_speedup_vs_composed"] = (
             out["train_step_composed_ms"] / out["train_step_fused_ms"])
+
+    if on_tpu:
+        # --- long-event row: N=8192 (VERDICT r3 #5).  Fused = Pallas
+        # build + tiled dense matching + fused conv + compaction; the
+        # composed step at this scale runs >1 s, so it gets a coarse
+        # 2-point estimate (enough to support the >=2x gate).
+        _progress("drn 8192 rows")
+        N8 = 8192
+        ev8 = synthetic_events(B, seed=7, n_min=N8 - 256, n_max=N8 - 1)
+        b8 = jax.device_put(collate(ev8, buckets=(N8,)))
+        n8 = {}
+        stepf = make_drn_train_step(cfg, graph_force="fused")
+        stf = init_train_state(*drn_init(jax.random.PRNGKey(0), cfg.drn),
+                               cfg)
+        n8["train_step_fused_ms"] = _slope_time(
+            lambda s_, _: (stepf(s_, b8)[0], None), stf, ks=(2, 6),
+            reps=3, label="drn8192 fused") * 1e3
+        stepc = make_drn_train_step(cfg, graph_force="composed")
+        stc = init_train_state(*drn_init(jax.random.PRNGKey(0), cfg.drn),
+                               cfg)
+        n8["train_step_composed_ms"] = _slope_time(
+            lambda s_, _: (stepc(s_, b8)[0], None), stc, ks=(1, 3),
+            reps=2, label="drn8192 composed") * 1e3
+        n8["events_per_s"] = B / (n8["train_step_fused_ms"] * 1e-3)
+        n8["step_speedup_vs_composed"] = (
+            n8["train_step_composed_ms"] / n8["train_step_fused_ms"])
+        out["n8192"] = n8
 
     # --- distributed graph-build comm model (single-chip environment: a
     # static model, not a measurement).  Per reduction round on an n_node

@@ -404,3 +404,55 @@ class TestMirrorGather:
                         jax.tree_util.tree_leaves(g_d)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
+
+
+class TestTiledMatching:
+    """Tiled dense matching (N > DENSE_MATCH_MAX_N path) vs the
+    rel-based dense branch.  Integer-valued features make every d²
+    exact in f32, so the tiled recompute reproduces the kernel's
+    threshold decisions bitwise even on CPU (on TPU the MXU HIGHEST
+    einsum matches the kernel on arbitrary data — gated in bench)."""
+
+    def test_tiled_matches_rel_dense(self):
+        from deepmetv2_tpu.ops.coarsen import handshake_matching_dense
+        from deepmetv2_tpu.ops.dyn_graph import (_tiled_cut_weights,
+                                                 build_dyn_graph,
+                                                 cut_matching)
+
+        B, N, H = 2, 256, 16
+        rng = np.random.default_rng(5)
+        h0 = jnp.asarray(rng.integers(-8, 8, size=(B, N, H))
+                         .astype(np.float32))
+        hp = jnp.asarray(rng.integers(-8, 8, size=(B, N, H))
+                         .astype(np.float32))
+        mask = jnp.asarray(rng.random((B, N)) < 0.95)
+        g = build_dyn_graph(h0, mask, k=4, force="fused", interpret=True)
+        cl_rel, pa_rel = cut_matching(g, hp, mask)
+        W = _tiled_cut_weights(g.h0, g.t, hp, mask, tile_c=128)
+        cl_t, pa_t = handshake_matching_dense(W, mask)
+        assert bool(jnp.all(cl_rel == cl_t))
+        assert bool(jnp.all(pa_rel == pa_t))
+
+    def test_tiled_matching_is_valid(self):
+        """On arbitrary float data the tiled path must still produce a
+        valid matching: partners are mutual, masked nodes singleton."""
+        from deepmetv2_tpu.ops.coarsen import handshake_matching_dense
+        from deepmetv2_tpu.ops.dyn_graph import (_tiled_cut_weights,
+                                                 build_dyn_graph)
+
+        B, N, H = 2, 256, 16
+        rng = np.random.default_rng(6)
+        h0 = jnp.asarray(rng.normal(size=(B, N, H)).astype(np.float32))
+        hp = jnp.asarray(rng.normal(size=(B, N, H)).astype(np.float32))
+        mask = jnp.asarray(rng.random((B, N)) < 0.95)
+        g = build_dyn_graph(h0, mask, k=4, force="fused", interpret=True)
+        W = _tiled_cut_weights(g.h0, g.t, hp, mask, tile_c=128)
+        cl, pa = handshake_matching_dense(W, mask)
+        pa = np.asarray(pa)
+        iota = np.arange(N)[None, :]
+        m = np.asarray(mask)
+        # partner of partner is self
+        pp = np.take_along_axis(pa, pa, axis=1)
+        assert np.all(pp[m] == iota.repeat(B, 0)[m])
+        # masked-out nodes are singletons
+        assert np.all(pa[~m] == iota.repeat(B, 0)[~m])
