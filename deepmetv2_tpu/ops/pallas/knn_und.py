@@ -201,6 +201,12 @@ def knn_und_graph(
     distance of each listed edge (inf at empty slots — normalized-cut
     weights come from this for free, no feature gather), and the per-node
     k-th-NN distance² thresholds (the implicit uncapped adjacency).
+    ``want_rel=True`` appends ``rel`` [B, N, N] f32 0/1 — the extract
+    kernel's own threshold-relation rows, consumed verbatim by the dense
+    cut matching (ops/dyn_graph.cut_matching) so its adjacency is the
+    kernel's exact decisions with no scatter and no recompute.  NOTE the
+    kernel masks SOURCE validity only (rows of padded queries are
+    garbage); consumers must mask query rows, as the dense matching does.
 
     Slots are in ascending-d² order; ``sort_ids=True`` restores the
     composed path's ascending-ID order for exact-equality tests, but
