@@ -86,8 +86,8 @@ SWEEP_SHAPES = [(8, 512, 32), (8, 2048, 32), (8, 8192, 32),
 # compare-select-reduce chain helps long windows (8192x32: 6.13 -> 5.03 ms
 # at isplit 4) and hurts short ones (2048x32: 0.52 -> 0.99 at isplit 4) —
 # both kept as candidates so each shape picks its winner.
-CANDIDATES = [(512, 16, 16, 1), (1024, 16, 16, 1), (128, 16, 16, 1),
-              (256, 32, 32, 1), (256, 32, 32, 4), (32, 32, 32, 1)]
+CANDIDATES = [(512, 16, 16, 1), (1024, 16, 16, 1),
+              (256, 32, 32, 1), (256, 32, 32, 4)]
 K_SWEEP = (5, 45)
 
 # v5e HBM peak bandwidth — denominator for the DMA-side speed-of-light
