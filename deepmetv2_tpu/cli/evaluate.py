@@ -63,6 +63,8 @@ def main(argv=None) -> int:
     cfg = apply_graph_mode(cfg, args, loaders["test"].dataset)
 
     ckpt_dir = osp.join(os.environ.get("PWD", "."), args.ckpts)
+    # a --from_torch evaluation may target a fresh artifact dir
+    os.makedirs(ckpt_dir, exist_ok=True)
     from deepmetv2_tpu.cli.common import load_model_for_eval
     params, bn_state, eval_step = load_model_for_eval(args, cfg, ckpt_dir)
     test_metrics, resolutions = evaluate(params, bn_state, eval_step,

@@ -59,6 +59,12 @@ class ModelConfig:
     # speed.  Accuracy delta gated by bench's numerics entry
     # (one bf16 rounding of the aggregated term, < 2e-2 scale-relative)
     # and tests/test_window.py::test_bf16_window_close_to_f32.
+    # Backward caveat: the window kernel routes the max-gradient to EVERY
+    # source tied with the selected max, and bf16's 8-bit mantissa makes
+    # value ties far likelier than f32's — clustered activations can
+    # overcount dc systematically.  The test bounds the median AND the
+    # p95 relative grad error; if a model's activations collapse to few
+    # distinct bf16 values, train f32.
     compute_dtype: str = "float32"
 
 
@@ -174,6 +180,14 @@ class TrainConfig:
     # reference's structure, train.py:39-54).  Applies to single-device
     # and data-parallel training; node-sharded (EP) steps stay per-step.
     chain_steps: int = 8
+    # Device-resident epoch feed (train/resident.py): stage the memoized
+    # collated epoch into HBM once and replay it every epoch — zero
+    # host->device staging after epoch 1 (the measured feed bound,
+    # BENCH_r04: 366.6 fed vs 5,376 compiled events/s).  Sound because
+    # the loaders are deterministic and unshuffled (reference
+    # model/data_loader.py:108-109).  Falls back to streaming when the
+    # epoch exceeds the HBM budget; single-process runs only.
+    resident_feed: bool = True
     qt_max: float = 400.0                # evaluate.py:111-112
     qt_bin_width: float = 10.0
     qt_hist_bins: int = 40

@@ -22,7 +22,7 @@ resolution, so clusterings are equivalent in quality but not bit-identical.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -245,6 +245,9 @@ def _compact_nodes(h: jnp.ndarray, mask: jnp.ndarray):
     Overflow (more representatives than slots — requires the handshake
     matching to pair under half the active nodes, not observed with 4
     rounds) deterministically drops the highest-index representatives.
+    ``compact_dropped`` computes the would-be-dropped count for a pooled
+    mask; drn_apply surfaces it through its ``diag`` out-param and bench's
+    DRN numerics gate asserts it is zero on the bench shapes.
     The reference keeps torch's dynamic shapes instead
     (model/dynamic_reduction_network.py:92-99); static capacities are the
     TPU-native equivalent."""
@@ -260,6 +263,19 @@ def _compact_nodes(h: jnp.ndarray, mask: jnp.ndarray):
             jnp.take_along_axis(mask, order, axis=1))
 
 
+def compact_dropped(mask: jnp.ndarray) -> jnp.ndarray:
+    """Valid representatives ``_compact_nodes`` would drop from this pooled
+    mask (overflow diagnostic): worst event's ``survivors - capacity``,
+    floored at 0.  Zero in normal operation (capacity is 3N/4; handshake
+    matching pairs well over half the active nodes)."""
+    N = mask.shape[1]
+    ncomp = _compact_size(N)
+    if ncomp >= N:
+        return jnp.zeros((), jnp.int32)
+    return jnp.maximum(
+        jnp.max(jnp.sum(mask.astype(jnp.int32), axis=1)) - ncomp, 0)
+
+
 def drn_apply(
     params: Params,
     state: State,
@@ -273,9 +289,14 @@ def drn_apply(
     graph_interpret: bool = False,
     conv_force=None,
     conv_interpret: bool = False,
+    diag: Optional[dict] = None,
 ) -> Tuple[jnp.ndarray, State]:
     """Forward → per-event outputs [B, output_dim]
     (reference model/dynamic_reduction_network.py:82-103).
+
+    ``diag`` (eager-only out-param): a dict that collects per-round
+    diagnostics — currently ``compact_dropped``, the representatives the
+    inter-round compaction would truncate (see ``compact_dropped``).
 
     Default path: the fused dynamic-graph build + dense cut matching
     (ops/dyn_graph.py — Pallas kernels on TPU, the composed XLA
@@ -324,6 +345,9 @@ def drn_apply(
         h, mask = max_pool(h, cluster, partner, mask)
         if (cfg.compact_pool and knn_fn is None
                 and r < cfg.pool_rounds - 1):
+            if diag is not None:
+                diag.setdefault("compact_dropped", []).append(
+                    compact_dropped(mask))
             h, mask = _compact_nodes(h, mask)
 
     pooled = global_max_pool(h, mask)

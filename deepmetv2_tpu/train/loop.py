@@ -39,7 +39,10 @@ def train_one_epoch(state, train_step, loader: PaddedLoader, epoch: int,
     (train.py:54), losses stay on device until the epoch ends — steps
     pipeline back-to-back and the host never blocks the TPU.  Batches are
     staged onto the device double-buffered (``prefetch_to_device``);
-    ``place`` overrides the placement for mesh training.
+    ``place`` overrides the placement for mesh training.  A
+    :class:`~deepmetv2_tpu.train.resident.ResidentFeed` ``loader`` skips
+    staging entirely: the epoch replays from device memory (its stacks are
+    already chained and placed; ``chain``/``place`` are ignored).
 
     ``chain > 1``: ``train_step`` must be a chained step
     (train/chain.make_chained_train_step) — consecutive same-shape
@@ -47,19 +50,31 @@ def train_one_epoch(state, train_step, loader: PaddedLoader, epoch: int,
     runs as ONE device program, returning its per-step losses."""
     from deepmetv2_tpu.data.loader import prefetch_to_device
     from deepmetv2_tpu.train.chain import chain_batches
+    from deepmetv2_tpu.train.resident import ResidentFeed
 
     losses = []
     avg = RunningAverage()
     timer = StepTimer()
     timer.start()
-    feed = chain_batches(loader, chain) if chain > 1 else loader
+    resident = isinstance(loader, ResidentFeed)
+    if resident:
+        feed_iter = iter(loader)
+    else:
+        feed = chain_batches(loader, chain) if chain > 1 else loader
+        feed_iter = prefetch_to_device(feed, place=place)
     done = 0
-    for i, batch in enumerate(prefetch_to_device(feed, place=place)):
+    for i, batch in enumerate(feed_iter):
         state, loss = train_step(state, batch)
         losses.append(loss)            # device scalar(s) — no sync
         k = loss.shape[0] if loss.ndim else 1
         done += k
-        timer.update(num_edges=0, num_nodes=int(np.sum(np.asarray(batch.num_valid))))
+        if resident and loader.meta:
+            # host-side staging metadata: never read staged device arrays
+            # back for accounting (a D2H round-trip per step)
+            timer.update(num_edges=0, num_nodes=loader.meta[i][1])
+        else:
+            timer.update(num_edges=0,
+                         num_nodes=int(np.sum(np.asarray(batch.num_valid))))
         if verbose and done // log_every > (done - k) // log_every:
             import jax.numpy as jnp
             avg.update(float(jnp.mean(loss)))  # sync at the log cadence
@@ -84,11 +99,14 @@ def evaluate(params, bn_state, eval_step, loader: PaddedLoader,
     first output is interpreted: per-candidate weights ('graphmet') or a
     direct cartesian MET estimate ('drn')."""
     from deepmetv2_tpu.data.loader import prefetch_to_device
+    from deepmetv2_tpu.train.resident import ResidentFeed
 
     losses = []
     arrs, qts, evs = [], [], []
     has_deepmet = False
-    for batch in prefetch_to_device(loader, place=place):
+    feed = (iter(loader) if isinstance(loader, ResidentFeed)
+            else prefetch_to_device(loader, place=place))
+    for batch in feed:
         w, loss, _ = eval_step(params, bn_state, batch)
         losses.append(loss)           # device scalar; stacked at the end
         has_deepmet = bool(batch.y.shape[1] > 6)
@@ -245,6 +263,19 @@ def fit(
         train_step = make_train_step(cfg)
         eval_step = make_eval_step(cfg)
         train_place = eval_place = None
+    # Device-resident epoch feeds (train/resident.py): stage the memoized
+    # epoch into HBM once and replay it — per-epoch host->device staging
+    # (the measured feed bound: 366.6 vs 5,376 events/s, BENCH_r04)
+    # drops to zero after epoch 1.  Single-process only: a multi-process
+    # global device_put needs per-host addressable shards, which is the
+    # streaming shard_batch path.
+    host_train_loader = train_loader        # bn-refresh reads host batches
+    if cfg.train.resident_feed and jax.process_count() == 1:
+        from deepmetv2_tpu.train.resident import ResidentFeed
+
+        train_loader = ResidentFeed(train_loader, chain=chain,
+                                    place=train_place)
+        val_loader = ResidentFeed(val_loader, chain=1, place=eval_place)
     scheduler = ReduceLROnPlateau(
         lr=cfg.optim.lr,
         factor=cfg.optim.plateau_factor,
@@ -297,7 +328,7 @@ def fit(
                 from deepmetv2_tpu.train.step import make_bn_refresh_step
                 refresh_step = make_bn_refresh_step(cfg, model)
             bn = state.bn_state
-            for i, rb in enumerate(train_loader):
+            for i, rb in enumerate(host_train_loader):
                 if i >= cfg.train.bn_refresh_batches:
                     break
                 bn = refresh_step(state.params, bn, rb)

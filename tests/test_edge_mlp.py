@@ -112,22 +112,58 @@ def test_drn_apply_fused_conv_matches():
 
 def test_compact_pool_matches_uncompacted():
     """Inter-round node compaction (DRNConfig.compact_pool) is exact up
-    to float re-association: same graphs/matchings on relabeled indices."""
+    to float re-association: same graphs/matchings on relabeled indices.
+
+    N must be >= 512: ``_compact_size(N) < N`` first holds there (at
+    N=256 the capacity equals N and ``_compact_nodes`` returns early, so
+    a smaller test never executes the gather/truncation path — r4
+    advisor finding)."""
     from deepmetv2_tpu.config import DRNConfig
-    from deepmetv2_tpu.models.drn import drn_apply, drn_init
+    from deepmetv2_tpu.models.drn import _compact_size, drn_apply, drn_init
 
     rng = np.random.default_rng(11)
-    B, N = 2, 256
+    B, N = 2, 512
+    assert _compact_size(N) < N      # the compaction path actually runs
     x = jnp.asarray(rng.normal(size=(B, N, 4)).astype(np.float32))
     mask = jnp.asarray(rng.random((B, N)) < 0.9)
     base = dict(input_dim=4, hidden_dim=16, k=4, pool_rounds=2)
     params, state = drn_init(jax.random.PRNGKey(1),
                              DRNConfig(**base))
     outs = {}
+    diag = {}
     for compact in (False, True):
         cfg = DRNConfig(**base, compact_pool=compact)
         outs[compact], _ = drn_apply(params, state, x, mask, True, cfg,
                                      graph_force="composed",
-                                     conv_force="xla")
+                                     conv_force="xla",
+                                     diag=diag if compact else None)
     np.testing.assert_allclose(outs[True], outs[False], rtol=1e-4,
                                atol=1e-5)
+    # overflow diagnostic recorded, and no representatives were dropped
+    assert [int(d) for d in diag["compact_dropped"]] == [0]
+
+
+def test_compact_nodes_overflow_truncates_deterministically():
+    """When survivors exceed the 3N/4 capacity, _compact_nodes keeps the
+    lowest-index representatives and compact_dropped reports exactly the
+    would-be-dropped count (r4 advisor finding: silent truncation)."""
+    from deepmetv2_tpu.models.drn import (_compact_nodes, _compact_size,
+                                          compact_dropped)
+
+    N = 512
+    ncomp = _compact_size(N)          # 384
+    assert ncomp < N
+    rng = np.random.default_rng(3)
+    h = jnp.asarray(rng.normal(size=(1, N, 4)).astype(np.float32))
+    # 500 survivors > 384 slots: 116 must be dropped
+    mask = np.zeros((1, N), dtype=bool)
+    keep = np.sort(rng.choice(N, size=500, replace=False))
+    mask[0, keep] = True
+    mask = jnp.asarray(mask)
+
+    assert int(compact_dropped(mask)) == 500 - ncomp
+    hc, mc = _compact_nodes(h, mask)
+    assert hc.shape[1] == ncomp and bool(jnp.all(mc))
+    # lowest-index survivors, in order
+    np.testing.assert_array_equal(np.asarray(hc[0]),
+                                  np.asarray(h[0, keep[:ncomp]]))

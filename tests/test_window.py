@@ -483,6 +483,12 @@ def test_bf16_window_close_to_f32():
     gbf = jax.grad(loss(lambda xx: window_edgeconv_linear_pallas(
         xx, g, w, b, tile=128, interpret=True, dtype=jnp.bfloat16)))(x)
     # grads route through argmax selections that can flip at bf16-tied
-    # values; compare coarsely
-    denom = np.maximum(np.abs(np.asarray(g32)), 1.0)
-    assert np.median(np.abs(np.asarray(gbf) - np.asarray(g32)) / denom) < 0.05
+    # values; compare coarsely — and bound the TAIL too, not just the
+    # median: the bf16 backward routes the max gradient to EVERY tied
+    # source, and bf16's 8-bit mantissa makes ties far likelier than in
+    # f32, so systematic overcounting would show up as a heavy tail
+    # (r4 advisor finding)
+    relerr = np.abs(np.asarray(gbf) - np.asarray(g32)) / np.maximum(
+        np.abs(np.asarray(g32)), 1.0)
+    assert np.median(relerr) < 0.05
+    assert np.percentile(relerr, 95) < 0.25
