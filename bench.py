@@ -635,6 +635,36 @@ def _drn_section(on_tpu: bool) -> dict:
         fconv_body, (h, convp), ks=(3, 12), reps=4,
         label="drn conv fused") * 1e3
 
+    # --- conv stage split (r4 verdict: "stages that sum to the step"):
+    # the XLA [B,N,K,H] neighbor gather (fwd take + scatter-add adjoint)
+    # vs the Pallas kernel on a PRE-gathered xj.  Full stage table in
+    # scripts/profile_drn_stages.py / docs/ARCHITECTURE.md.
+    from deepmetv2_tpu.ops.segment import gather_neighbors
+
+    def gather_body(c, _):
+        _, dx = jax.value_and_grad(lambda x: jnp.sum(jnp.where(
+            g0.nbr.mask[..., None], gather_neighbors(x, g0.nbr), 0.0) ** 2)
+        )(c)
+        return c + 1e-12 * dx, None
+
+    out["gather_fwd_bwd_ms"] = _slope_time(
+        gather_body, h, ks=(3, 12), reps=4, label="drn gather") * 1e3
+
+    # compaction overflow gate (ADVICE r4): the 3N/4 capacity must not
+    # drop representatives at the bench shapes
+    from deepmetv2_tpu.models.drn import drn_apply
+    from deepmetv2_tpu.models.drn import drn_init as _drn_init_diag
+
+    diag = {}
+    cfg_diag = DRNConfig(head="cartesian")
+    _p, _s = _drn_init_diag(jax.random.PRNGKey(9), cfg_diag)
+    drn_apply(_p, _s, h[..., :cfg_diag.input_dim], mask, True, cfg_diag,
+              diag=diag)
+    out["numerics"]["compact_dropped"] = [
+        int(d) for d in diag.get("compact_dropped", [])]
+    out["numerics"]["ok"] = out["numerics"]["ok"] and not any(
+        out["numerics"]["compact_dropped"])
+
     if on_tpu and g0.rel is not None:
         # tiled-matching precondition: the XLA HIGHEST einsum reproduces
         # the extract kernel's threshold decisions bitwise on the MXU

@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "ring-pipelined top-k instead of the all-gather "
                         "build — O(B*n_loc*(D+k)) peak per-chip memory, "
                         "for events larger than one chip")
+    p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
+                   default=None,
+                   help="EdgeConv hot-path precision "
+                        "(ModelConfig.compute_dtype): bfloat16 runs the "
+                        "conv GEMMs MXU-bf16 (f32 accumulation) and the "
+                        "window aggregation on bf16 values; positions and "
+                        "adjacency stay f32")
     p.add_argument("--grad_clip", type=float, default=None,
                    help="global-norm gradient clipping (default: off, "
                         "matching the reference)")
@@ -159,6 +166,10 @@ def main(argv=None) -> int:
     if args.epochs is not None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, epochs=args.epochs))
+    if args.compute_dtype is not None:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           compute_dtype=args.compute_dtype))
     if args.bn_refresh is not None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(

@@ -26,18 +26,16 @@ from deepmetv2_tpu.train.loss import loss_fn
 from deepmetv2_tpu.train.step import TrainState, build_graph, make_optimizer
 
 
-def make_ep_train_step(cfg: Config, mesh: Mesh, interpret: bool = False):
-    """jit-compiled edge-partitioned train step.
-
-    ``cfg.graph.mode`` is forced to 'window' (the halo path requires the
-    implicit sorted-window representation).
-    """
+def ep_train_step_core(cfg: Config, opt, mesh: Mesh,
+                       interpret: bool = False):
+    """Unjitted edge-partitioned step body ``(state, batch) ->
+    (state, loss)`` — jitted standalone by :func:`make_ep_train_step`, or
+    scanned over a stacked chain of batches by train/chain.py (the
+    ``edge_partitioning`` context is a trace-time switch, so it applies
+    equally inside a scan body)."""
     if cfg.graph.mode != "window":
         cfg = dataclasses.replace(
             cfg, graph=dataclasses.replace(cfg.graph, mode="window"))
-    opt = make_optimizer(cfg)
-    rep = replicate(mesh)
-    bsh = batch_sharding(mesh, shard_nodes=True)
 
     def step(state: TrainState, batch: EventBatch) -> Tuple[TrainState, jax.Array]:
         with edge_partitioning(mesh, interpret=interpret):
@@ -55,6 +53,18 @@ def make_ep_train_step(cfg: Config, mesh: Mesh, interpret: bool = False):
             return TrainState(new_params, new_bn, new_opt,
                               state.step + 1), loss
 
+    return step
+
+
+def make_ep_train_step(cfg: Config, mesh: Mesh, interpret: bool = False):
+    """jit-compiled edge-partitioned train step.
+
+    ``cfg.graph.mode`` is forced to 'window' (the halo path requires the
+    implicit sorted-window representation).
+    """
+    step = ep_train_step_core(cfg, make_optimizer(cfg), mesh, interpret)
+    rep = replicate(mesh)
+    bsh = batch_sharding(mesh, shard_nodes=True)
     return jax.jit(
         step,
         in_shardings=(rep, bsh),

@@ -122,11 +122,15 @@ def make_chained(
 
 
 def make_chained_train_step(cfg, model: str = "graphmet", mesh=None,
-                            graph_force=None):
+                            graph_force=None, shard_nodes: bool = False,
+                            interpret: bool = False):
     """Chained counterpart of train/step.make_train_step /
-    make_drn_train_step and the dp steps in parallel/dp.py.  ``mesh``
-    selects the data-parallel cores (events sharded over the mesh's data
-    axis inside each scanned step)."""
+    make_drn_train_step and the mesh steps in parallel/{dp,ep}.py.
+    ``mesh`` selects the mesh cores (events sharded over the data axis
+    inside each scanned step); ``shard_nodes=True`` additionally shards
+    the node axis and runs the edge-partitioned window core with halo
+    exchange (parallel/ep.py; flagship model only — the node-sharded DRN
+    stays per-step)."""
     from deepmetv2_tpu.train.step import (drn_train_step_core,
                                           make_optimizer, train_step_core)
 
@@ -135,15 +139,22 @@ def make_chained_train_step(cfg, model: str = "graphmet", mesh=None,
         core = (drn_train_step_core(cfg, opt, graph_force)
                 if model == "drn" else train_step_core(cfg, opt))
         return make_chained(core)
-    from deepmetv2_tpu.parallel.dp import (dp_drn_train_step_core,
-                                           dp_train_step_core)
     from deepmetv2_tpu.parallel.mesh import batch_sharding, replicate
 
-    core = (dp_drn_train_step_core(cfg, opt) if model == "drn"
-            else dp_train_step_core(cfg, opt))
+    if shard_nodes:
+        assert model != "drn", "chained EP supports the flagship model only"
+        from deepmetv2_tpu.parallel.ep import ep_train_step_core
+
+        core = ep_train_step_core(cfg, opt, mesh, interpret)
+    else:
+        from deepmetv2_tpu.parallel.dp import (dp_drn_train_step_core,
+                                               dp_train_step_core)
+
+        core = (dp_drn_train_step_core(cfg, opt) if model == "drn"
+                else dp_train_step_core(cfg, opt))
     return make_chained(
         core,
         state_sharding=replicate(mesh),
-        batch_shardings=batch_sharding(mesh),
+        batch_shardings=batch_sharding(mesh, shard_nodes=shard_nodes),
         loss_sharding=replicate(mesh),
     )

@@ -202,11 +202,13 @@ def fit(
     if primary:
         os.makedirs(ckpt_dir, exist_ok=True)
     # Multi-step chained programs (train/chain.py): K same-shape batches
-    # per dispatch.  Node-sharded (EP) steps and multi-process runs stay
-    # per-step — the chained carriers are the single-process
-    # single-device and data-parallel paths.
+    # per dispatch, for every single-process path — single-device,
+    # data-parallel, and edge-partitioned (window halo exchange scans
+    # like any other core).  The node-sharded DRN and multi-process runs
+    # stay per-step.
     chain = (max(1, cfg.train.chain_steps)
-             if not shard_nodes and jax.process_count() == 1 else 1)
+             if jax.process_count() == 1
+             and not (shard_nodes and model == "drn") else 1)
     if mesh is not None:
         from deepmetv2_tpu.parallel.dp import (make_dp_train_step,
                                                make_drn_dp_train_step)
@@ -216,8 +218,9 @@ def fit(
         if chain > 1:
             from deepmetv2_tpu.train.chain import (make_chained_train_step,
                                                    prepend_chain_axis)
-            raw_step = make_chained_train_step(cfg, model, mesh)
-            chain_sh = prepend_chain_axis(batch_sharding(mesh))
+            raw_step = make_chained_train_step(cfg, model, mesh,
+                                               shard_nodes=shard_nodes)
+            chain_sh = prepend_chain_axis(batch_sharding(mesh, shard_nodes))
 
             def place_chain(b):
                 return jax.tree_util.tree_map(jax.device_put, b, chain_sh)
