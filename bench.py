@@ -830,6 +830,16 @@ def main() -> None:
 
     t_step = step_chain(cfg)            # includes the per-step argsort
     t_step_pre = step_chain(cfg_pre)    # loader presorted: argsort-free
+    # bf16 hot path (ModelConfig.compute_dtype) — the trained-capability
+    # row backing ckpts_syn_bf16 (r5): MXU-bf16 conv GEMMs + bf16 window
+    # values.  Expected ~neutral on v5e (kernel is VPU-bound on f32
+    # coordinate math); the measured number keeps that claim honest.
+    from deepmetv2_tpu.config import ModelConfig
+
+    cfg_bf16 = dataclasses.replace(
+        cfg_pre, model=dataclasses.replace(ModelConfig(),
+                                           compute_dtype="bfloat16"))
+    t_step_bf16 = step_chain(cfg_bf16)
 
     # Inference (serving path): jitted forward + loss, no grad; chained by
     # folding a vanishing multiple of the loss into the params.
@@ -976,6 +986,7 @@ def main() -> None:
         "sweep": sweep,
         "train_step_window_ms": t_step * 1e3,
         "train_step_presorted_ms": t_step_pre * 1e3,
+        "train_step_bf16_ms": t_step_bf16 * 1e3,
         "train_step_events_per_s": B / t_step_pre,
         "epoch_feed_sync_events_per_s": n_ev / t_sync,
         "epoch_feed_prefetch_events_per_s": n_ev / t_pref,

@@ -59,9 +59,11 @@ def train_one_epoch(state, train_step, loader: PaddedLoader, epoch: int,
     resident = isinstance(loader, ResidentFeed)
     if resident:
         feed_iter = iter(loader)
+        total = sum(k for k, _ in loader.meta) if loader.meta else len(loader)
     else:
         feed = chain_batches(loader, chain) if chain > 1 else loader
         feed_iter = prefetch_to_device(feed, place=place)
+        total = len(loader)
     done = 0
     for i, batch in enumerate(feed_iter):
         state, loss = train_step(state, batch)
@@ -79,7 +81,7 @@ def train_one_epoch(state, train_step, loader: PaddedLoader, epoch: int,
             import jax.numpy as jnp
             avg.update(float(jnp.mean(loss)))  # sync at the log cadence
             r = timer.rates()
-            print(f"  epoch {epoch} step {done}/{len(loader)} "
+            print(f"  epoch {epoch} step {done}/{total} "
                   f"loss {avg():.3f} ({r['steps_per_s'] * k:.2f} it/s)")
     import jax.numpy as jnp
     # one stacked transfer — per-scalar float() fetches are latency-bound

@@ -78,6 +78,23 @@ def _fwd_body(fn):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--stages", default=None,
+                    help="comma list of stage names to run (default all); "
+                         "names: input,graph,gather,conv_ng,conv_full,"
+                         "match,pool,compact,head,opt,step")
+    ap.add_argument("--rounds", default="r1,r2")
+    ap.add_argument("--out", default=None,
+                    help="append results as one JSON line to this file")
+    args = ap.parse_args()
+    only = set(args.stages.split(",")) if args.stages else None
+    rounds = set(args.rounds.split(","))
+
+    def want(name):
+        return only is None or name in only
+
     from deepmetv2_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
@@ -110,12 +127,15 @@ def main():
     def inputnet(x, p):
         return mlp_apply(p["inputnet"], p["datanorm"] * x, final_act=True)
 
-    record("input_mlp_ms", _slope_time(
-        _fwdbwd_body(lambda x: inputnet(x, params)), x_in,
-        ks=KS, label="input_mlp") * 1e3)
+    if want("input"):
+        record("input_mlp_ms", _slope_time(
+            _fwdbwd_body(lambda x: inputnet(x, params)), x_in,
+            ks=KS, label="input_mlp") * 1e3)
 
     per_round = {}
     for tag, (h, m, n_cap) in (("r1", (h1, m1, N)), ("r2", (h2, m2, N2))):
+        if tag not in rounds:
+            continue
         r = {}
         # 1. fused graph build (discrete — fwd only in the step)
         g0 = jax.block_until_ready(build_dyn_graph(h, m, k=dc.k,
@@ -126,14 +146,17 @@ def main():
             g = build_dyn_graph(hh, m, k=dc.k, cap=dc.und_cap)
             return _fold(hh, jnp.mean(g.nbr.idx.astype(jnp.float32))), None
 
-        r["graph_ms"] = _slope_time(graph_body, h, ks=KS,
-                                    label=f"graph_{tag}") * 1e3
+        if want("graph"):
+            r["graph_ms"] = _slope_time(graph_body, h, ks=KS,
+                                        label=f"graph_{tag}") * 1e3
 
         # 2. the XLA neighbor gather fwd + scatter-add adjoint
-        r["gather_ms"] = _slope_time(
-            _fwdbwd_body(lambda v: jnp.where(
-                g0.nbr.mask[..., None], gather_neighbors(v, g0.nbr), 0.0)),
-            h, ks=KS, label=f"gather_{tag}") * 1e3
+        if want("gather"):
+            r["gather_ms"] = _slope_time(
+                _fwdbwd_body(lambda v: jnp.where(
+                    g0.nbr.mask[..., None], gather_neighbors(v, g0.nbr),
+                    0.0)),
+                h, ks=KS, label=f"gather_{tag}") * 1e3
 
         # 3. fused conv on a PRE-gathered xj (kernel cost excluding gather)
         xj0 = jax.block_until_ready(gather_neighbors(h, g0.nbr))
@@ -146,9 +169,10 @@ def main():
                 cp["bn"]["beta"], bn_r.mean, bn_r.var, True, dc.aggr)
             return o + mean[None, None, :] + var[None, None, :]
 
-        r["conv_nogather_ms"] = _slope_time(
-            _fwdbwd_body(conv_ng), (h, xj0, cp["mlp"]),
-            ks=KS, label=f"conv_ng_{tag}") * 1e3
+        if want("conv_ng"):
+            r["conv_nogather_ms"] = _slope_time(
+                _fwdbwd_body(conv_ng), (h, xj0, cp["mlp"]),
+                ks=KS, label=f"conv_ng_{tag}") * 1e3
 
         # 3b. conv INCLUDING the gather (what the step actually runs)
         def conv_full(x, mlp_p):
@@ -158,9 +182,10 @@ def main():
                 cp["bn"]["beta"], bn_r.mean, bn_r.var, True, dc.aggr)
             return o + mean[None, None, :] + var[None, None, :]
 
-        r["conv_with_gather_ms"] = _slope_time(
-            _fwdbwd_body(conv_full), (h, cp["mlp"]),
-            ks=KS, label=f"conv_full_{tag}") * 1e3
+        if want("conv_full"):
+            r["conv_with_gather_ms"] = _slope_time(
+                _fwdbwd_body(conv_full), (h, cp["mlp"]),
+                ks=KS, label=f"conv_full_{tag}") * 1e3
 
         # 4. dense cut matching (discrete — fwd only)
         def match_body(carry, _):
@@ -168,8 +193,9 @@ def main():
             cl, pr = cut_matching(g0, hh, m)
             return _fold(hh, jnp.mean(cl.astype(jnp.float32))), None
 
-        r["matching_ms"] = _slope_time(match_body, h, ks=KS,
-                                       label=f"match_{tag}") * 1e3
+        if want("match"):
+            r["matching_ms"] = _slope_time(match_body, h, ks=KS,
+                                           label=f"match_{tag}") * 1e3
 
         # 5. cluster-max pooling fwd+bwd (differentiated in the step)
         cl0, pr0 = jax.tree_util.tree_map(
@@ -179,22 +205,25 @@ def main():
             ph, _ = max_pool(v, cl0, pr0, m)
             return ph
 
-        r["pool_ms"] = _slope_time(_fwdbwd_body(pool_fn), h, ks=KS,
-                                   label=f"pool_{tag}") * 1e3
+        if want("pool"):
+            r["pool_ms"] = _slope_time(_fwdbwd_body(pool_fn), h, ks=KS,
+                                       label=f"pool_{tag}") * 1e3
         per_round[tag] = r
 
     # 6. inter-round compaction fwd+bwd (runs once, on round-1 output)
-    record("compact_ms", _slope_time(
-        _fwdbwd_body(lambda v: _compact_nodes(v, m1)[0]), h1,
-        ks=KS, label="compact") * 1e3)
+    if want("compact"):
+        record("compact_ms", _slope_time(
+            _fwdbwd_body(lambda v: _compact_nodes(v, m1)[0]), h1,
+            ks=KS, label="compact") * 1e3)
 
     # 7. head: global max pool + output MLP + loss-ish reduction
     def head_fn(v):
         pooled = global_max_pool(v, m2)
         return mlp_apply(params["output"], pooled)
 
-    record("head_ms", _slope_time(_fwdbwd_body(head_fn), h2,
-                                  ks=KS, label="head") * 1e3)
+    if want("head"):
+        record("head_ms", _slope_time(_fwdbwd_body(head_fn), h2,
+                                      ks=KS, label="head") * 1e3)
 
     # 8. optimizer update (AdamW over the DRN params)
     opt = make_optimizer(cfg)
@@ -207,32 +236,41 @@ def main():
         import optax
         return (optax.apply_updates(p, up), s2), None
 
-    record("optimizer_ms", _slope_time(opt_body, (params, opt_state0),
-                                       ks=KS, label="opt") * 1e3)
+    if want("opt"):
+        record("optimizer_ms", _slope_time(opt_body, (params, opt_state0),
+                                           ks=KS, label="opt") * 1e3)
 
     for tag, r in per_round.items():
         for k, v in r.items():
             record(f"{tag}_{k}", v)
 
     # ---- the measured full step
-    events = synthetic_events(B * 4, seed=1, n_min=N - 256, n_max=N - 1)
-    batch = jax.device_put(collate(events[:B], buckets=(N,)))
-    step = make_drn_train_step(cfg)
-    state = init_train_state(params, bn, cfg)
-    record("drn_train_step_ms", _slope_time(
-        lambda s, _: (step(s, batch)[0], None), state, ks=KS,
-        label="drn_step") * 1e3)
+    if want("step"):
+        events = synthetic_events(B * 4, seed=1, n_min=N - 256, n_max=N - 1)
+        batch = jax.device_put(collate(events[:B], buckets=(N,)))
+        step = make_drn_train_step(cfg)
+        state = init_train_state(params, bn, cfg)
+        record("drn_train_step_ms", _slope_time(
+            lambda s, _: (step(s, batch)[0], None), state, ks=KS,
+            label="drn_step") * 1e3)
 
-    stage_sum = (
-        out["input_mlp_ms"] + out["compact_ms"] + out["head_ms"]
-        + out["optimizer_ms"]
-        + sum(out[f"{t}_{k}"] for t in ("r1", "r2")
-              for k in ("graph_ms", "conv_with_gather_ms", "matching_ms",
-                        "pool_ms")))
-    record("stage_sum_ms", stage_sum)
-    out["unattributed_ms"] = round(out["drn_train_step_ms"] - stage_sum, 4)
+    try:
+        stage_sum = (
+            out["input_mlp_ms"] + out["compact_ms"] + out["head_ms"]
+            + out["optimizer_ms"]
+            + sum(out[f"{t}_{k}"] for t in ("r1", "r2")
+                  for k in ("graph_ms", "conv_with_gather_ms",
+                            "matching_ms", "pool_ms")))
+        record("stage_sum_ms", stage_sum)
+        out["unattributed_ms"] = round(
+            out["drn_train_step_ms"] - stage_sum, 4)
+    except KeyError:
+        pass                       # partial run (--stages/--rounds subset)
     out["device"] = str(jax.devices()[0])
     print(json.dumps(out, indent=1))
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(json.dumps(out) + "\n")
 
 
 if __name__ == "__main__":
