@@ -64,9 +64,15 @@ def main(argv=None) -> int:
     eval_step = make_eval_step(cfg)
     summary = compute_weight_summary(eval_step, params, bn_state,
                                      loaders["test"], cfg)
-    artifacts.save(summary, "weight.plt")
-    print("wrote weight.plt")
-    for w in plot_weight_summary(summary, "weight_"):
+    # artifacts land next to the checkpoints (the reference wrote
+    # weight.plt into the cwd, plt_weight.py:205 — an accident of its
+    # flat layout, not a contract)
+    out_dir = osp.join(os.environ.get("PWD", "."), args.ckpts)
+    os.makedirs(out_dir, exist_ok=True)
+    dest = osp.join(out_dir, "weight.plt")
+    artifacts.save(summary, dest)
+    print("wrote", dest)
+    for w in plot_weight_summary(summary, osp.join(out_dir, "weight_")):
         print("wrote", w)
     return 0
 

@@ -131,6 +131,32 @@ class TestEvaluateCli:
         res = artifacts.load(res_path)
         assert isinstance(res, dict) and res
 
+    def test_plot_cli_from_resolutions(self, data_dir, tmp_path):
+        """plot CLI renders the five reference-figure PNGs from a
+        .resolutions artifact (reference plt.py:39-107)."""
+        from deepmetv2_tpu.cli.plot import main as plot_main
+        from deepmetv2_tpu.cli.train import main as train_main
+
+        ck = str(tmp_path / "ck_plot")
+        assert train_main(["--data", data_dir, "--ckpts", ck,
+                           "--epochs", "1", "--batch_size", "4"]) == 0
+        assert plot_main(["--ckpts", ck, "--restore_file", "best"]) == 0
+        import glob
+        assert len(glob.glob(osp.join(ck, "best_*.png"))) == 5
+
+    def test_plot_weight_cli(self, data_dir, tmp_path):
+        """plot_weight CLI: weight diagnostics from npz on disk to
+        weight.plt + PNGs (reference plt_weight.py)."""
+        from deepmetv2_tpu.cli.plot_weight import main as pw_main
+
+        ck = str(tmp_path / "ck_pw")
+        rc = pw_main(["--data", data_dir, "--ckpts", ck,
+                      "--batch_size", "8"])
+        assert rc == 0
+        assert osp.exists(osp.join(ck, "weight.plt"))
+        res = artifacts.load(osp.join(ck, "weight.plt"))
+        assert isinstance(res, dict) and res
+
     def test_from_torch(self, data_dir, tmp_path):
         """Evaluate the reference .pth.tar directly (importer + eval step)."""
         ref = "/root/reference/ckpts_dytt/best.pth.tar"
