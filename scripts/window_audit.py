@@ -68,9 +68,6 @@ def make_fwd_kernel(variant: str):
 
         T, F = qe.shape
         n_sub = tile // subtile
-        if variant == "dotform":
-            # hoisted per-window-row half-norms: wh = (we²+wp²−r2)/2
-            wh_all = 0.5 * (ewin[:] * ewin[:] + pwin[:] * pwin[:] - r2)
 
         for sub in range(n_sub):
             rows = slice(sub * subtile, (sub + 1) * subtile)
@@ -90,10 +87,15 @@ def make_fwd_kernel(variant: str):
                     m = jnp.max(jnp.where(d2 < r2, cw[None, :, :],
                                           W.NEG_INF), axis=1)
                 elif variant == "dotform":
-                    # hit ⟺ qe·we + qp·wp − wh > qh  (d2 < r2 rearranged)
-                    t = (qe_s[:, None, :] * ewin[sl, :][None, :, :]
-                         + qp_s[:, None, :] * pwin[sl, :][None, :, :])
-                    t = t - wh_all[sl, :][None, :, :]
+                    # hit ⟺ qe·we + qp·wp − wh > qh  (d2 < r2 rearranged);
+                    # wh recomputed per chunk (3/S extra ops per element —
+                    # arrays can't be ds-sliced, only refs)
+                    ew = ewin[sl, :]
+                    pw = pwin[sl, :]
+                    wh = 0.5 * (ew * ew + pw * pw - r2)
+                    t = (qe_s[:, None, :] * ew[None, :, :]
+                         + qp_s[:, None, :] * pw[None, :, :])
+                    t = t - wh[None, :, :]
                     m = jnp.max(jnp.where(t > qh_s[:, None, :],
                                           cw[None, :, :], W.NEG_INF), axis=1)
                 elif variant == "nophi":
