@@ -77,6 +77,31 @@ class TestResidentFeed:
         log_s = (tmp_path / "str" / "loss.log").read_text().splitlines()[2:]
         assert log_r == log_s and len(log_r) == 2
 
+    def test_multi_bucket_epoch(self, tmp_path):
+        """Mixed bucket sizes: chains never span a shape change, and the
+        resident replay covers every stack — fit() output matches the
+        streaming feed on a multi-bucket dataset."""
+        events = (synthetic_events(16, seed=3, n_min=8, n_max=60)
+                  + synthetic_events(16, seed=4, n_min=70, n_max=120)
+                  + synthetic_events(8, seed=5, n_min=8, n_max=60))
+        loaders = fetch_dataloader(events=events, batch_size=4,
+                                   validation_split=0.2, buckets=(64, 128))
+        cfg = Config(data=DataConfig(batch_size=4, node_buckets=(64, 128)),
+                     train=TrainConfig(epochs=2, chain_steps=4))
+        st = init_train_state(*graph_met_init(jax.random.PRNGKey(7)), cfg)
+        fit(st, cfg, loaders["train"], loaders["test"],
+            str(tmp_path / "res"), verbose=False)
+
+        cfg_s = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, resident_feed=False))
+        st = init_train_state(*graph_met_init(jax.random.PRNGKey(7)), cfg_s)
+        fit(st, cfg_s, loaders["train"], loaders["test"],
+            str(tmp_path / "str"), verbose=False)
+
+        log_r = (tmp_path / "res" / "loss.log").read_text().splitlines()[2:]
+        log_s = (tmp_path / "str" / "loss.log").read_text().splitlines()[2:]
+        assert log_r == log_s and len(log_r) == 2
+
     def test_fit_resident_mesh_dp(self, tmp_path):
         """Resident feed under a data-parallel mesh: staged stacks carry the
         chained dp shardings and the run matches the streaming mesh run."""
