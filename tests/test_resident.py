@@ -102,6 +102,28 @@ class TestResidentFeed:
         log_s = (tmp_path / "str" / "loss.log").read_text().splitlines()[2:]
         assert log_r == log_s and len(log_r) == 2
 
+    def test_resume_under_resident_feed(self, tmp_path):
+        """Checkpoint resume (reference train.py:92-98) with the resident
+        feed active: a 2+2-epoch restored run writes the same number of
+        epochs as an uninterrupted 4-epoch run and continues from the
+        checkpointed state (loss.log appends, no epoch renumbering)."""
+        cfg = Config(data=DataConfig(batch_size=4, node_buckets=(64,)),
+                     train=TrainConfig(epochs=2, chain_steps=3))
+        loaders = _loaders()
+        ck = str(tmp_path / "resume")
+        st = init_train_state(*graph_met_init(jax.random.PRNGKey(9)), cfg)
+        fit(st, cfg, loaders["train"], loaders["test"], ck, verbose=False)
+
+        cfg4 = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, epochs=4))
+        st = init_train_state(*graph_met_init(jax.random.PRNGKey(9)), cfg4)
+        fit(st, cfg4, loaders["train"], loaders["test"], ck,
+            restore_file="last", verbose=False)
+
+        lines = [l for l in open(f"{ck}/loss.log").read().splitlines()
+                 if l and not l.startswith(("#", "epoch"))]
+        assert [int(l.split(",")[0]) for l in lines] == [1, 2, 3, 4]
+
     def test_fit_resident_mesh_dp(self, tmp_path):
         """Resident feed under a data-parallel mesh: staged stacks carry the
         chained dp shardings and the run matches the streaming mesh run."""
