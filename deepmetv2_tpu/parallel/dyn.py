@@ -97,19 +97,15 @@ def drn_net_apply_sharded(params, state, batch: EventBatch, train: bool,
     )
 
 
-def make_drn_ep_train_step(cfg: Config, mesh: Mesh):
-    """Edge-partitioned DRN train step: events shard over ``data``, the
-    padded node axis over ``node``; the per-round graph build and neighbor
-    fetch run as the two collectives above, gradients reduce via GSPMD."""
+def drn_ep_train_step_core(cfg: Config, opt, mesh: Mesh):
+    """Unjitted edge-partitioned DRN step body — jitted standalone by
+    :func:`make_drn_ep_train_step`, or scanned over a stacked chain of
+    batches by train/chain.py (the sharded apply is an ordinary traced
+    function, so it scans like the other cores)."""
     import optax
 
-    from deepmetv2_tpu.parallel.mesh import batch_sharding, replicate
     from deepmetv2_tpu.train.loss import drn_loss_fn
-    from deepmetv2_tpu.train.step import TrainState, make_optimizer
-
-    opt = make_optimizer(cfg)
-    rep = replicate(mesh)
-    bsh = batch_sharding(mesh, shard_nodes=True)
+    from deepmetv2_tpu.train.step import TrainState
 
     def step(state: TrainState, batch: EventBatch):
         def objective(params):
@@ -124,5 +120,18 @@ def make_drn_ep_train_step(cfg: Config, mesh: Mesh):
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(new_params, new_bn, new_opt, state.step + 1), loss
 
+    return step
+
+
+def make_drn_ep_train_step(cfg: Config, mesh: Mesh):
+    """Edge-partitioned DRN train step: events shard over ``data``, the
+    padded node axis over ``node``; the per-round graph build and neighbor
+    fetch run as the two collectives above, gradients reduce via GSPMD."""
+    from deepmetv2_tpu.parallel.mesh import batch_sharding, replicate
+    from deepmetv2_tpu.train.step import make_optimizer
+
+    step = drn_ep_train_step_core(cfg, make_optimizer(cfg), mesh)
+    rep = replicate(mesh)
+    bsh = batch_sharding(mesh, shard_nodes=True)
     return jax.jit(step, in_shardings=(rep, bsh), out_shardings=(rep, rep),
                    donate_argnums=(0,))

@@ -128,9 +128,10 @@ def make_chained_train_step(cfg, model: str = "graphmet", mesh=None,
     make_drn_train_step and the mesh steps in parallel/{dp,ep}.py.
     ``mesh`` selects the mesh cores (events sharded over the data axis
     inside each scanned step); ``shard_nodes=True`` additionally shards
-    the node axis and runs the edge-partitioned window core with halo
-    exchange (parallel/ep.py; flagship model only — the node-sharded DRN
-    stays per-step)."""
+    the node axis and runs the edge-partitioned cores — the
+    flagship window core with halo exchange (parallel/ep.py) or the
+    node-sharded DRN core with its distributed graph build
+    (parallel/dyn.py)."""
     from deepmetv2_tpu.train.step import (drn_train_step_core,
                                           make_optimizer, train_step_core)
 
@@ -142,10 +143,14 @@ def make_chained_train_step(cfg, model: str = "graphmet", mesh=None,
     from deepmetv2_tpu.parallel.mesh import batch_sharding, replicate
 
     if shard_nodes:
-        assert model != "drn", "chained EP supports the flagship model only"
-        from deepmetv2_tpu.parallel.ep import ep_train_step_core
+        if model == "drn":
+            from deepmetv2_tpu.parallel.dyn import drn_ep_train_step_core
 
-        core = ep_train_step_core(cfg, opt, mesh, interpret)
+            core = drn_ep_train_step_core(cfg, opt, mesh)
+        else:
+            from deepmetv2_tpu.parallel.ep import ep_train_step_core
+
+            core = ep_train_step_core(cfg, opt, mesh, interpret)
     else:
         from deepmetv2_tpu.parallel.dp import (dp_drn_train_step_core,
                                                dp_train_step_core)

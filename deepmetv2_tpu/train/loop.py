@@ -205,12 +205,11 @@ def fit(
         os.makedirs(ckpt_dir, exist_ok=True)
     # Multi-step chained programs (train/chain.py): K same-shape batches
     # per dispatch, for every single-process path — single-device,
-    # data-parallel, and edge-partitioned (window halo exchange scans
-    # like any other core).  The node-sharded DRN and multi-process runs
-    # stay per-step.
+    # data-parallel, and both edge-partitioned cores (halo-exchange
+    # window and node-sharded DRN scan like any other core).
+    # Multi-process runs stay per-step.
     chain = (max(1, cfg.train.chain_steps)
-             if jax.process_count() == 1
-             and not (shard_nodes and model == "drn") else 1)
+             if jax.process_count() == 1 else 1)
     if mesh is not None:
         from deepmetv2_tpu.parallel.dp import (make_dp_train_step,
                                                make_drn_dp_train_step)

@@ -192,6 +192,53 @@ class TestChainedEdgePartitioned:
                                        rtol=1e-5, atol=1e-7)
 
 
+class TestChainedDrnEdgePartitioned:
+    def test_matches_sequential_drn_ep(self):
+        """Chained node-sharded DRN steps (distributed graph build inside
+        the scanned core) must reproduce the sequential dispatch."""
+        from deepmetv2_tpu.parallel.dyn import make_drn_ep_train_step
+        from deepmetv2_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                                 shard_batch)
+        from deepmetv2_tpu.train.chain import prepend_chain_axis
+
+        cfg = Config(data=DataConfig(batch_size=4, node_buckets=(64,)),
+                     drn=DRNConfig(hidden_dim=16, k=4, head="cartesian",
+                                   output_scale=50.0))
+        bs = _batches(4, seed=23)
+        mesh = make_mesh(n_data=2, n_node=2)
+
+        step = make_drn_ep_train_step(cfg, mesh)
+        st_seq = init_train_state(*drn_init(jax.random.PRNGKey(6), cfg.drn),
+                                  cfg)
+        seq_losses = []
+        with mesh:
+            for b in bs:
+                st_seq, l = step(st_seq,
+                                 shard_batch(b, mesh, shard_nodes=True))
+                seq_losses.append(float(l))
+
+        chained = make_chained_train_step(cfg, model="drn", mesh=mesh,
+                                          shard_nodes=True)
+        chain_sh = prepend_chain_axis(batch_sharding(mesh,
+                                                     shard_nodes=True))
+        st_ch = init_train_state(*drn_init(jax.random.PRNGKey(6), cfg.drn),
+                                 cfg)
+        ch_losses = []
+        with mesh:
+            for stacked in chain_batches(iter(bs), 2):
+                placed = jax.tree_util.tree_map(jax.device_put, stacked,
+                                                chain_sh)
+                st_ch, ls = chained(st_ch, placed)
+                ch_losses.extend(np.asarray(ls).tolist())
+
+        np.testing.assert_allclose(np.asarray(seq_losses),
+                                   np.asarray(ch_losses), rtol=1e-6)
+        for x, y in zip(jax.tree_util.tree_leaves(st_seq.params),
+                        jax.tree_util.tree_leaves(st_ch.params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-7)
+
+
 class TestChainedFit:
     def test_fit_uses_chained_path(self, tmp_path):
         """End-to-end: fit() with chain_steps > 1 must produce the SAME
